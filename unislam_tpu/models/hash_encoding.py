@@ -1,0 +1,160 @@
+"""Multiresolution hash-grid encoding (instant-ngp family) in pure JAX.
+
+TPU-native replacement for tiny-cuda-nn's CUDA `HashGrid` encoding that the
+reference builds in /root/reference/src/UNISLAM.py:224-259 and samples in
+src/networks/decoders.py:91-105. Same algorithm family (Mueller et al. 2022,
+"Instant Neural Graphics Primitives", arXiv:2201.05989):
+
+- L levels of 3D grids with geometrically increasing resolution
+  (`per_level_scale = exp2(log2(desired_res / n_levels) / (n_levels - 1))`,
+  reference UNISLAM.py:241), base resolution 16, F features per level.
+- Coarse levels whose dense grid fits the table budget are stored densely;
+  finer levels spatially hash their corners into a 2**log2_hashmap_size
+  table with the xor-of-primes hash.
+- Trilinear interpolation of the 8 corner features, output is the
+  level-major concatenation (N, L*F).
+
+Parameters live in ONE flat `(total_entries, F)` jnp array so optax treats
+the whole grid as a single leaf; gradients reach it through XLA gather /
+scatter-add (a fused Pallas path lives in unislam_tpu/ops/pallas).
+
+All per-level constants (scales, resolutions, offsets, hashed flags) are
+static numpy, so the encode traces to fixed-shape gathers that XLA can batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# xor-hash primes (public instant-ngp constants).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridSpec(NamedTuple):
+    """Static description of a multiresolution hash grid."""
+    n_levels: int
+    n_features: int
+    log2_hashmap_size: int
+    base_resolution: int
+    per_level_scale: float
+    # Derived (numpy, static):
+    scales: np.ndarray        # (L,) float32: grid scale per level
+    resolutions: np.ndarray   # (L,) int32: cells per axis per level
+    offsets: np.ndarray       # (L+1,) int64: entry offset per level
+    hashed: np.ndarray        # (L,) bool: True -> spatial hash, False -> dense
+    level_sizes: np.ndarray   # (L,) int64: entries per level
+
+    @property
+    def total_entries(self) -> int:
+        return int(self.offsets[-1])
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+
+def make_spec(n_levels: int = 16, n_features: int = 2,
+              log2_hashmap_size: int = 19, base_resolution: int = 16,
+              desired_resolution: int = 512,
+              per_level_scale: float | None = None) -> HashGridSpec:
+    """Build the static spec. `per_level_scale` defaults to the reference's
+    formula (/root/reference/src/UNISLAM.py:241)."""
+    if per_level_scale is None:
+        per_level_scale = float(
+            np.exp2(np.log2(desired_resolution / n_levels) / (n_levels - 1)))
+    hashmap_size = 1 << log2_hashmap_size
+
+    scales = np.float32(
+        [base_resolution * per_level_scale ** l - 1.0 for l in range(n_levels)])
+    resolutions = np.int32(np.ceil(scales) + 1)
+
+    level_sizes = []
+    hashed = []
+    for res in resolutions:
+        dense = int(res) ** 3
+        if dense > hashmap_size:
+            level_sizes.append(hashmap_size)
+            hashed.append(True)
+        else:
+            # align to 8 like tcnn for identical table sizes
+            level_sizes.append(-(-dense // 8) * 8)
+            hashed.append(False)
+    level_sizes = np.int64(level_sizes)
+    offsets = np.concatenate([[0], np.cumsum(level_sizes)]).astype(np.int64)
+    return HashGridSpec(n_levels, n_features, log2_hashmap_size,
+                        base_resolution, per_level_scale, scales, resolutions,
+                        offsets, np.bool_(hashed), level_sizes)
+
+
+def init_table(key: jax.Array, spec: HashGridSpec,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """tcnn-style U(-1e-4, 1e-4) init of the flat (total_entries, F) table."""
+    return jax.random.uniform(
+        key, (spec.total_entries, spec.n_features), dtype=dtype,
+        minval=-1e-4, maxval=1e-4)
+
+
+def _corner_indices(spec: HashGridSpec, pos_grid: jnp.ndarray) -> jnp.ndarray:
+    """Flat table indices for the 8 corners of each point at each level.
+
+    pos_grid: (L, N, 3) int32 floor coordinates. Returns (L, N, 8) int32
+    indices *including* per-level offsets into the flat table.
+    """
+    L, N, _ = pos_grid.shape
+    # (8, 3) corner offsets in {0,1}^3
+    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                      axis=-1).reshape(8, 3).astype(np.int32)
+    res = jnp.asarray(spec.resolutions)[:, None, None, None]       # (L,1,1,1)
+    coords = pos_grid[:, :, None, :] + corner[None, None, :, :]    # (L,N,8,3)
+    coords = jnp.clip(coords, 0, res - 1)
+
+    ucoords = coords.astype(jnp.uint32)
+    # Hashed path: xor of prime-multiplied coords, modulo table size.
+    h = (ucoords[..., 0] * np.uint32(_PRIMES[0])) ^ \
+        (ucoords[..., 1] * np.uint32(_PRIMES[1])) ^ \
+        (ucoords[..., 2] * np.uint32(_PRIMES[2]))
+    hash_idx = (h & np.uint32((1 << spec.log2_hashmap_size) - 1)).astype(jnp.int32)
+    # Dense path: x + y*res + z*res^2.
+    res_i = jnp.asarray(spec.resolutions)[:, None, None]           # (L,1,1)
+    dense_idx = (coords[..., 0] + coords[..., 1] * res_i +
+                 coords[..., 2] * res_i * res_i)
+    hashed = jnp.asarray(spec.hashed)[:, None, None]
+    idx = jnp.where(hashed, hash_idx, dense_idx)
+    # Guard dense levels whose aligned size < res^3 can't happen (size is
+    # rounded up), but clamp against per-level size for safety.
+    sizes = jnp.asarray(spec.level_sizes.astype(np.int32))[:, None, None]
+    idx = jnp.minimum(idx, sizes - 1)
+    return idx + jnp.asarray(spec.offsets.astype(np.int32))[:-1, None, None]
+
+
+def _interp_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear corner weights. frac: (L, N, 3) -> (L, N, 8)."""
+    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                      axis=-1).reshape(8, 3).astype(np.float32)
+    f = frac[:, :, None, :]                                        # (L,N,1,3)
+    w = jnp.where(corner[None, None] > 0, f, 1.0 - f)              # (L,N,8,3)
+    return jnp.prod(w, axis=-1)
+
+
+def encode(table: jnp.ndarray, points: jnp.ndarray,
+           spec: HashGridSpec) -> jnp.ndarray:
+    """Encode points (N, 3) in [0, 1] -> features (N, L*F).
+
+    Input is clamped to [0, 1] like the reference's
+    `sample_hash_grid_feature` (/root/reference/src/networks/decoders.py:101).
+    """
+    p = jnp.clip(points, 0.0, 1.0)
+    scales = jnp.asarray(spec.scales)[:, None, None]               # (L,1,1)
+    pos = p[None, :, :] * scales + 0.5                             # (L,N,3)
+    pos_floor = jnp.floor(pos)
+    frac = pos - pos_floor
+    idx = _corner_indices(spec, pos_floor.astype(jnp.int32))       # (L,N,8)
+    w = _interp_weights(frac)                                      # (L,N,8)
+    feats = table[idx]                                             # (L,N,8,F)
+    out = jnp.sum(w[..., None] * feats, axis=2)                    # (L,N,F)
+    # level-major concat -> (N, L*F), matching tcnn's output layout
+    return jnp.moveaxis(out, 0, 1).reshape(points.shape[0], spec.out_dim)

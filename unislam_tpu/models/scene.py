@@ -1,0 +1,131 @@
+"""The scene representation: one parameter pytree + pure query functions.
+
+Replaces the reference's shared-memory split of tcnn grids + decoder Module
+(/root/reference/src/UNISLAM.py:76-137) with a single JAX pytree
+
+    {"sdf_table", "color_table", "sdf_mlp", "color_mlp", "beta"}
+
+shared trivially between the tracking and mapping phases (same process, same
+arrays — the `load_state_dict` copies of Tracker.py:246-269 disappear).
+
+`SceneConfig` carries all static structure (hash specs, bound, hidden sizes);
+query functions close over it so jitted callers never retrace.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unislam_tpu.models import decoders, hash_encoding
+from unislam_tpu.models.hash_encoding import HashGridSpec
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    """Static scene structure. `bound` is (3, 2) world-space min/max."""
+    sdf_spec: HashGridSpec
+    color_spec: HashGridSpec
+    bound: np.ndarray
+    truncation: float
+    c_dim: int = 32
+    hidden_size: int = 16
+    n_blocks: int = 2
+    learnable_beta: bool = True
+    beta_init: float = 10.0
+
+    @property
+    def bound_min(self) -> np.ndarray:
+        return self.bound[:, 0]
+
+    @property
+    def bound_extent(self) -> np.ndarray:
+        return self.bound[:, 1] - self.bound[:, 0]
+
+
+def make_scene_config(cfg: Dict[str, Any]) -> SceneConfig:
+    """Build SceneConfig from a merged YAML config dict.
+
+    Mirrors the reference's bound handling + resolution formula:
+    - bound scaled and rounded up to `bound_dividable`
+      (/root/reference/src/UNISLAM.py:205-222)
+    - desired grid resolution = max scene dim / voxel size
+      (/root/reference/src/UNISLAM.py:192-203)
+    """
+    scale = cfg.get("scale", 1)
+    bound = np.array(cfg["mapping"]["bound"], dtype=np.float64) * scale
+    dividable = cfg["planes_res"]["bound_dividable"]
+    bound[:, 1] = (np.floor((bound[:, 1] - bound[:, 0]) / dividable).astype(int)
+                   + 1) * dividable + bound[:, 0]
+    dim_max = (bound[:, 1] - bound[:, 0]).max()
+    res_sdf = int(dim_max / cfg["grid"]["voxel_sdf"])
+    res_color = int(dim_max / cfg["grid"]["voxel_color"])
+
+    sdf_spec = hash_encoding.make_spec(
+        log2_hashmap_size=cfg["grid"]["hash_size_sdf"],
+        desired_resolution=res_sdf)
+    color_spec = hash_encoding.make_spec(
+        log2_hashmap_size=cfg["grid"]["hash_size_color"],
+        desired_resolution=res_color)
+
+    return SceneConfig(
+        sdf_spec=sdf_spec,
+        color_spec=color_spec,
+        bound=bound.astype(np.float32),
+        truncation=float(cfg["model"]["truncation"]),
+        c_dim=int(cfg["model"]["c_dim"]),
+        hidden_size=16,
+        n_blocks=2,
+        learnable_beta=bool(cfg["rendering"].get("learnable_beta", True)),
+    )
+
+
+def init_params(key: jax.Array, sc: SceneConfig) -> Dict[str, Any]:
+    """Initialize the full scene parameter pytree."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "sdf_table": hash_encoding.init_table(k1, sc.sdf_spec),
+        "color_table": hash_encoding.init_table(k2, sc.color_spec),
+        "sdf_mlp": decoders.init_mlp(k3, sc.sdf_spec.out_dim, sc.hidden_size,
+                                     1, sc.n_blocks),
+        "color_mlp": decoders.init_mlp(k4, sc.color_spec.out_dim,
+                                       sc.hidden_size, 3, sc.n_blocks),
+        "beta": jnp.full((1,), sc.beta_init, dtype=jnp.float32),
+    }
+
+
+def normalize_points(sc: SceneConfig, pts: jnp.ndarray) -> jnp.ndarray:
+    """World points -> [0, 1]^3 (tcnn convention, Renderer.py:136-137)."""
+    lo = jnp.asarray(sc.bound_min)
+    ext = jnp.asarray(sc.bound_extent)
+    return (pts - lo) / ext
+
+
+def raw_sdf(params: Dict[str, Any], sc: SceneConfig,
+            p_nor: jnp.ndarray) -> jnp.ndarray:
+    """SDF at normalized points (N, 3) -> (N,). Mirrors decoders.py:107-130."""
+    feat = hash_encoding.encode(params["sdf_table"], p_nor, sc.sdf_spec)
+    return decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
+
+
+def raw_rgb(params: Dict[str, Any], sc: SceneConfig,
+            p_nor: jnp.ndarray) -> jnp.ndarray:
+    """RGB at normalized points (N, 3) -> (N, 3). Mirrors decoders.py:132-155."""
+    feat = hash_encoding.encode(params["color_table"], p_nor, sc.color_spec)
+    return decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
+
+
+def query(params: Dict[str, Any], sc: SceneConfig,
+          p_nor: jnp.ndarray) -> jnp.ndarray:
+    """Joint query -> (N, 4) [r, g, b, sdf]. Mirrors decoders.forward."""
+    sdf = raw_sdf(params, sc, p_nor)
+    rgb = raw_rgb(params, sc, p_nor)
+    return jnp.concatenate([rgb, sdf[..., None]], axis=-1)
+
+
+def beta_value(params: Dict[str, Any], sc: SceneConfig) -> jnp.ndarray:
+    return params["beta"][0] if sc.learnable_beta else jnp.float32(sc.beta_init)
