@@ -1,0 +1,151 @@
+"""Engine tests: keyframe bank, tracking convergence, selection, e2e SLAM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unislam_tpu.core import pose as pose_lib
+from unislam_tpu.core.rays import Intrinsics
+from unislam_tpu.data.synthetic import SyntheticRoom, make_config
+from unislam_tpu.engine import keyframes as kf_lib
+from unislam_tpu.engine import selection as selection_lib
+from unislam_tpu.engine.slam import UniSLAM, intrinsics_from_cfg
+from unislam_tpu.tools.eval_ate import evaluate_ate, pose_evaluation
+
+
+def test_keyframe_bank_add_and_contents():
+    H, W, B = 12, 16, 20
+    bank = kf_lib.init_bank(max_kf=4, bank_size=B)
+    add = kf_lib.make_add_keyframe(H, W, B)
+    depth = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
+    color = jnp.stack([depth, depth, depth], axis=-1) / (H * W)
+    rays_d = jnp.ones((H, W, 3))
+    c2w = jnp.eye(4).at[2, 3].set(1.0)
+    bank = add(bank, depth, color, rays_d, c2w, c2w, jnp.int32(7),
+               jax.random.PRNGKey(0))
+    assert int(bank.count) == 1
+    assert int(bank.frame_idx[0]) == 7
+    # stored depths are a subset of the image values, all distinct (randperm)
+    d = np.asarray(bank.depth[0])
+    assert len(np.unique(d)) == B
+    assert set(d.tolist()) <= set(range(H * W))
+    # pose roundtrip
+    c2w_back = pose_lib.cam_pose_to_matrix(bank.pose7[:1])[0]
+    np.testing.assert_allclose(np.asarray(c2w_back), np.asarray(c2w),
+                               atol=1e-5)
+    # second add goes to slot 1
+    bank = add(bank, depth, color, rays_d, c2w, c2w, jnp.int32(9),
+               jax.random.PRNGKey(1))
+    assert int(bank.count) == 2 and int(bank.frame_idx[1]) == 9
+
+
+def test_selection_overlap_sanity():
+    """A keyframe at the same pose sees ~full overlap; an opposite-facing
+    keyframe sees ~none."""
+    intr = Intrinsics(H=40, W=40, fx=40.0, fy=40.0, cx=19.5, cy=19.5)
+    max_kf = 8
+    bank = kf_lib.init_bank(max_kf, 10)
+    same = np.eye(4, dtype=np.float32)
+    opposite = np.diag([-1.0, 1.0, -1.0, 1.0]).astype(np.float32)  # 180 deg
+    poses = [same, opposite, same, same]
+    p7 = pose_lib.matrix_to_cam_pose(jnp.asarray(np.stack(poses)))
+    bank = bank._replace(
+        pose7=bank.pose7.at[:4].set(p7),
+        frame_idx=bank.frame_idx.at[:4].set(jnp.asarray([0, 4, 8, 12])),
+        count=jnp.asarray(4, jnp.int32))
+
+    # edge=5: the reference's 20px margin would blank a 40px test image
+    select = selection_lib.make_selection_fn(intr, max_kf, lc_min_gap=1000,
+                                             edge=5)
+    depth = jnp.full((40, 40), 2.0)
+    color = jnp.zeros((40, 40, 3))
+    res = select(bank, depth, color, jnp.asarray(same), jnp.int32(16),
+                 jax.random.PRNGKey(0))
+    pi = np.asarray(res.percent_inside)
+    assert pi[0] > 0.5          # same pose: high covisibility
+    assert pi[1] < 0.05         # opposite: none
+    assert pi[2] == 0 and pi[3] == 0  # last two excluded
+    assert not bool(res.lc_flag)  # gap test blocks LC
+    # normal mask = all except last two (slots 0,1)
+    np.testing.assert_array_equal(np.asarray(res.normal_mask)[:4],
+                                  [True, True, False, False])
+
+
+def test_window_probs():
+    probs, extra = selection_lib.window_probs(8, count=4,
+                                              sel_mask=np.asarray(
+                                                  [1, 0, 0, 0, 0, 0, 0, 0],
+                                                  bool))
+    # window = slot0 (selected) + slots 2,3 (last two) + current (slot 8)
+    assert probs[0] > 0 and probs[2] > 0 and probs[3] > 0 and probs[8] > 0
+    assert probs[1] == 0 and probs.sum() == pytest.approx(1.0)
+    np.testing.assert_allclose(extra, probs)  # count <= 20 -> fallback
+
+
+def _small_slam(n_frames=9, **overrides):
+    ds = SyntheticRoom(n_frames=n_frames,
+                       intr=Intrinsics(H=40, W=52, fx=45.0, fy=45.0,
+                                       cx=25.5, cy=19.5),
+                       deg_per_frame=1.5)
+    # LRs scaled up vs the Replica defaults: the synthetic orbit moves much
+    # faster between frames than a real 30fps sensor relative to scene size
+    base = {"tracking": {"pixels": 600, "iters": 16, "ignore_edge_W": 3,
+                         "ignore_edge_H": 3, "lr_T": 0.01, "lr_R": 0.004},
+            "mapping": {"pixels": 800, "iters": 8, "iters_first": 25,
+                        "every_frame": 2, "keyframe_every": 2},
+            "rendering": {"n_stratified": 16, "n_importance": 4}}
+    from unislam_tpu.config import update_recursive
+    update_recursive(base, overrides)
+    cfg = make_config(ds, base)
+    return ds, cfg
+
+
+@pytest.mark.slow
+def test_e2e_synthetic_slam():
+    """The minimum end-to-end slice: track+map a short synthetic sequence and
+    demand sub-5cm ATE (SURVEY.md §7.2 step 4)."""
+    ds, cfg = _small_slam(n_frames=9)
+    slam = UniSLAM(cfg, ds, seed=0)
+    est = slam.run(progress=False)
+    _, results = evaluate_ate(slam.gt_c2w[:, :3, 3], est[:, :3, 3])
+    assert results["error.rmse"] < 5.0, results
+    assert slam.mapping_cnt >= 5
+    assert int(slam.bank.count) >= 4
+
+
+@pytest.mark.slow
+def test_tracking_recovers_perturbed_pose():
+    """Build a converged map with gt poses, then track a frame starting from
+    a perturbed initialization — pose error must shrink."""
+    ds, cfg = _small_slam(n_frames=5, tracking={"gt_camera": True, "iters": 10})
+    slam = UniSLAM(cfg, ds, seed=0)
+    slam.run(progress=False)
+
+    # now track frame 3 from a perturbed previous pose
+    color, depth, gt_c2w = slam._frame(3)
+    gt7 = np.asarray(pose_lib.matrix_to_cam_pose(jnp.asarray(gt_c2w)[None])[0])
+    pert = gt7.copy()
+    pert[4:] += np.asarray([0.02, -0.015, 0.02])
+    slam.est_c2w[2] = np.asarray(
+        pose_lib.cam_pose_to_matrix(jnp.asarray(pert)[None])[0])
+    slam.tc = slam.tc._replace(gt_camera=False, const_speed_assumption=False)
+    slam.t_iters = 20
+    c2w_est = slam.track_frame(3, depth, color)
+    err_before = np.linalg.norm(pert[4:] - gt7[4:])
+    err_after = np.linalg.norm(c2w_est[:3, 3] - gt_c2w[:3, 3])
+    assert err_after < err_before * 0.7, (err_before, err_after)
+
+
+def test_pose_evaluation_and_ate():
+    rng = np.random.default_rng(0)
+    n = 20
+    gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    gt[:, :3, 3] = rng.normal(size=(n, 3))
+    est = gt.copy()
+    est[:, :3, 3] += 0.01  # constant 1cm*sqrt3 offset
+    _, res = pose_evaluation(gt, est)
+    np.testing.assert_allclose(res["error.rmse"], np.sqrt(3) * 1.0, atol=0.01)
+    # with alignment the constant offset vanishes
+    _, res_aligned = pose_evaluation(gt, est, pose_alignment=True)
+    assert res_aligned["error.rmse"] < 0.01

@@ -1,0 +1,189 @@
+"""Map optimization: scene params (+ keyframe poses, local BA) against a
+keyframe-window ray batch.
+
+TPU-native rewrite of /root/reference/src/Mapper.py:276-459. One jitted step:
+draw a fixed-size (frame, pixel) batch from the keyframe bank + current
+frame, render, masked SDF/color/depth losses, Adam over
+{hash tables, decoders, poses} with per-group learning rates.
+
+Design deltas (behavior-preserving):
+- The reference allocates `pixels // n_window_frames` rays to each window
+  frame (Mapper.py:315, get_samples_all); we draw each ray's frame slot from
+  a uniform categorical over the selected set — same marginal distribution,
+  fully static shapes for any window size.
+- The "+200 extra rays from the 10 newest keyframes when >20 kfs"
+  (Mapper.py:385-393) is a second 200-ray draw from a separate probability
+  vector the driver fills (zeros -> the draw falls back to the main set).
+- Joint BA (Mapper.py:359-361,447-458): pose gradients are masked per-slot
+  (oldest window frame fixed); non-window slots receive no rays hence no
+  gradient. Updated poses are written straight back to the bank pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from unislam_tpu.core import losses as losses_lib
+from unislam_tpu.core import pose as pose_lib
+from unislam_tpu.core import rays as rays_lib
+from unislam_tpu.core.rays import Intrinsics
+from unislam_tpu.engine.keyframes import KeyframeBank
+from unislam_tpu.models.scene import SceneConfig
+from unislam_tpu.render import renderer
+from unislam_tpu.render.renderer import RenderConfig
+
+
+class MapperConfig(NamedTuple):
+    pixels: int = 4000
+    iters: int = 15
+    iters_first: int = 10
+    every_frame: int = 4
+    keyframe_every: int = 4
+    mapping_window_size: int = 20
+    joint_opt: bool = True
+    joint_opt_cam_lr: float = 0.001
+    lr_decoders: float = 0.001
+    lr_hash: float = 0.05
+    lr_c_hash: float = 0.05
+    lr_factor: float = 1.0
+    lr_first_factor: float = 5.0
+    w_sdf_fs: float = 5.0
+    w_sdf_center: float = 200.0
+    w_sdf_tail: float = 10.0
+    w_depth: float = 0.1
+    w_color: float = 5.0
+    extra_rays: int = 200
+    extra_newest: int = 10
+    mask_mode: str = "original"
+
+
+def from_cfg(cfg) -> MapperConfig:
+    m = cfg["mapping"]
+    return MapperConfig(
+        pixels=m["pixels"], iters=m["iters"], iters_first=m["iters_first"],
+        every_frame=m["every_frame"], keyframe_every=m["keyframe_every"],
+        mapping_window_size=m["mapping_window_size"],
+        joint_opt=m.get("joint_opt", True),
+        joint_opt_cam_lr=m.get("joint_opt_cam_lr", 0.001),
+        lr_decoders=m["lr"]["decoders_lr"], lr_hash=m["lr"]["hash_grids_lr"],
+        lr_c_hash=m["lr"]["c_hash_grids_lr"],
+        lr_factor=m.get("lr_factor", 1.0),
+        lr_first_factor=m.get("lr_first_factor", 5.0),
+        w_sdf_fs=m["w_sdf_fs"], w_sdf_center=m["w_sdf_center"],
+        w_sdf_tail=m["w_sdf_tail"], w_depth=m["w_depth"],
+        w_color=m["w_color"], mask_mode=cfg.get("m_mask_mode", "original"),
+    )
+
+
+def make_optimizer(mc: MapperConfig, lr_factor: float):
+    """Per-group Adam mirroring Mapper.create_optimizer (Mapper.py:111-139):
+    decoders (incl. beta), sdf hash table, color hash table, and BA poses."""
+    labels = {
+        "scene": {"sdf_table": "hash", "color_table": "c_hash",
+                  "sdf_mlp": "dec", "color_mlp": "dec", "beta": "dec"},
+        "poses": "poses",
+    }
+    return optax.multi_transform(
+        {"dec": optax.adam(mc.lr_decoders * lr_factor),
+         "hash": optax.adam(mc.lr_hash * lr_factor),
+         "c_hash": optax.adam(mc.lr_c_hash * lr_factor),
+         "poses": optax.adam(mc.joint_opt_cam_lr)},
+        labels)
+
+
+def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
+                      intr: Intrinsics, max_kf: int, bank_size: int):
+    """Build the jitted mapping step.
+
+    step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
+         sel_probs, extra_probs, pose_grad_mask, key)
+      -> (opt_tree', opt_state', loss)
+
+    opt_tree = {"scene": scene params, "poses": (max_kf+1, 7)} where slot
+    max_kf is the current frame's pose. sel_probs/extra_probs: (max_kf+1,)
+    frame-slot sampling distributions. pose_grad_mask: (max_kf+1, 1) with 1
+    where BA may move the pose.
+    """
+    bound = jnp.asarray(sc.bound)
+    w_sdf = losses_lib.SdfLossWeights(mc.w_sdf_fs, mc.w_sdf_center,
+                                      mc.w_sdf_tail)
+    n_rays = mc.pixels + mc.extra_rays
+    HW = intr.H * intr.W
+
+    def loss_fn(opt_tree, bank: KeyframeBank, cur_depth, cur_color,
+                cur_rays_d, sel_probs, extra_probs, pose_grad_mask, key):
+        scene = opt_tree["scene"]
+        poses = opt_tree["poses"]
+        # BA gradient gating: fixed slots see only the stop-gradient value.
+        poses = poses * pose_grad_mask + \
+            jax.lax.stop_gradient(poses) * (1.0 - pose_grad_mask)
+
+        k_slot, k_extra, k_pix_b, k_pix_c, k_render = jax.random.split(key, 5)
+        slot_main = jax.random.categorical(
+            k_slot, jnp.log(sel_probs + 1e-20), shape=(mc.pixels,))
+        slot_extra = jax.random.categorical(
+            k_extra, jnp.log(extra_probs + 1e-20), shape=(mc.extra_rays,))
+        slot = jnp.concatenate([slot_main, slot_extra])
+        pix_b = jax.random.randint(k_pix_b, (n_rays,), 0, bank_size)
+        pix_c = jax.random.randint(k_pix_c, (n_rays,), 0, HW)
+
+        is_cur = slot == max_kf
+        kf_slot = jnp.minimum(slot, max_kf - 1)
+        gt_depth = jnp.where(is_cur, cur_depth.reshape(-1)[pix_c],
+                             bank.depth[kf_slot, pix_b])
+        gt_color = jnp.where(is_cur[:, None], cur_color.reshape(-1, 3)[pix_c],
+                             bank.color[kf_slot, pix_b])
+        dir_cam = jnp.where(is_cur[:, None], cur_rays_d.reshape(-1, 3)[pix_c],
+                            bank.rays_d[kf_slot, pix_b])
+
+        c2w = pose_lib.cam_pose_to_matrix(poses)           # (max_kf+1, 4, 4)
+        rot = c2w[slot, :3, :3]
+        rays_d = jnp.einsum("nij,nj->ni", rot, dir_cam)
+        rays_o = c2w[slot, :3, 3]
+
+        far = rays_lib.ray_aabb_far(jax.lax.stop_gradient(rays_o),
+                                    jax.lax.stop_gradient(rays_d), bound)
+        inside = far >= gt_depth                 # Mapper.py:396-402 (gd==0 ok)
+
+        out = renderer.render_rays(scene, sc, rc, rays_o, rays_d, gt_depth,
+                                   k_render)
+
+        pixel_unc = jax.lax.stop_gradient(out.pixel_unc)
+        alpha_mask = (1.0 - pixel_unc) > 0.99
+        depth_mask = (gt_depth > 0) & alpha_mask & inside
+
+        if mc.mask_mode == "original":
+            m_sdf = depth_mask.astype(jnp.float32)
+            m_col = inside.astype(jnp.float32)   # color loss over all rays
+            m_dep = depth_mask.astype(jnp.float32)
+        else:  # "no_mask"
+            m_sdf = m_col = m_dep = inside.astype(jnp.float32)
+
+        loss = losses_lib.sdf_losses(out.sdf, out.z_vals, gt_depth, m_sdf,
+                                     sc.truncation, w_sdf)
+        loss = loss + mc.w_color * losses_lib.color_loss(gt_color, out.rgb,
+                                                         m_col)
+        loss = loss + mc.w_depth * losses_lib.depth_loss(gt_depth, out.depth,
+                                                         m_dep)
+        return loss
+
+    def make_step(lr_factor: float):
+        opt = make_optimizer(mc, lr_factor)
+
+        @jax.jit
+        def step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
+                 sel_probs, extra_probs, pose_grad_mask, key):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                opt_tree, bank, cur_depth, cur_color, cur_rays_d, sel_probs,
+                extra_probs, pose_grad_mask, key)
+            updates, opt_state = opt.update(grads, opt_state, opt_tree)
+            opt_tree = optax.apply_updates(opt_tree, updates)
+            return opt_tree, opt_state, loss
+
+        return step, opt
+
+    return make_step

@@ -1,0 +1,294 @@
+"""The SLAM driver: one process, two jitted phases, one scene pytree.
+
+Replaces the reference's two-process orchestration (UNISLAM.run spawning
+Tracker.run / Mapper.run with shared CUDA tensors and spin-wait handshakes,
+/root/reference/src/UNISLAM.py:90-137,261-301) with a sequential host loop:
+
+    for idx: track(idx)  ->  [map(idx) every `every_frame` / on activation]
+
+The tracker therefore always sees the freshest map (the reference's tracker
+reads a map that lags by up to `every_frame` frames — the handshake at
+Tracker.py:297-300 only syncs at window boundaries); scheduling semantics
+(activated mapping, tracking_back, iteration doubling, keyframe cadence,
+loop closure) are preserved exactly.
+
+Host-side state is tiny (pose lists, counters); all heavy state (scene
+params, keyframe bank) lives on device across the whole run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unislam_tpu.core import pose as pose_lib
+from unislam_tpu.core.rays import Intrinsics, camera_ray_dirs
+from unislam_tpu.engine import keyframes as kf_lib
+from unislam_tpu.engine import mapper as mapper_lib
+from unislam_tpu.engine import selection as selection_lib
+from unislam_tpu.engine import tracker as tracker_lib
+from unislam_tpu.models import scene as scene_lib
+from unislam_tpu.render.renderer import RenderConfig
+
+
+def intrinsics_from_cfg(cfg) -> Intrinsics:
+    """Apply crop_size / crop_edge intrinsic updates
+    (/root/reference/src/UNISLAM.py:168-190)."""
+    cam = cfg["cam"]
+    H, W = cam["H"], cam["W"]
+    fx, fy, cx, cy = cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+    if "crop_size" in cam:
+        sy = cam["crop_size"][0] / H
+        sx = cam["crop_size"][1] / W
+        fx, fy, cx, cy = sx * fx, sy * fy, sx * cx, sy * cy
+        H, W = cam["crop_size"][0], cam["crop_size"][1]
+    edge = cam.get("crop_edge", 0)
+    if edge > 0:
+        H, W = H - 2 * edge, W - 2 * edge
+        cx, cy = cx - edge, cy - edge
+    return Intrinsics(H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy)
+
+
+class UniSLAM:
+    """Sequential tracker+mapper over a frame source.
+
+    `dataset` yields (color (H,W,3) float [0,1], depth (H,W) float meters,
+    gt_c2w (4,4)) numpy arrays via `dataset[i]` and defines `len`.
+    """
+
+    def __init__(self, cfg: Dict[str, Any], dataset, output: Optional[str] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.n_img = len(dataset)
+        self.verbose = cfg.get("verbose", False)
+        self.output = output or cfg.get("data", {}).get("output", "output/run")
+
+        self.intr = intrinsics_from_cfg(cfg)
+        self.sc = scene_lib.make_scene_config(cfg)
+        r = cfg["rendering"]
+        self.rc = RenderConfig(n_stratified=r["n_stratified"],
+                               n_importance=r["n_importance"],
+                               perturb=bool(r.get("perturb", True)))
+        self.tc = tracker_lib.from_cfg(cfg)
+        self.mc = mapper_lib.from_cfg(cfg)
+
+        self.key = jax.random.PRNGKey(seed)
+        self.params = scene_lib.init_params(self._next_key(), self.sc)
+
+        # keyframe bank (device-resident)
+        self.bank_size = max(1, int(self.intr.H * self.intr.W * 0.1))
+        self.max_kf = min(self.n_img,
+                          self.n_img // self.mc.keyframe_every + 65)
+        self.bank = kf_lib.init_bank(self.max_kf, self.bank_size)
+        self._add_kf = kf_lib.make_add_keyframe(self.intr.H, self.intr.W,
+                                                self.bank_size)
+
+        # jitted steps
+        self.track_step, self.track_opt = tracker_lib.make_tracking_step(
+            self.sc, self.rc, self.tc, self.intr)
+        mk = mapper_lib.make_mapping_step(self.sc, self.rc, self.mc,
+                                          self.intr, self.max_kf,
+                                          self.bank_size)
+        self.map_step_first, self.map_opt_first = mk(self.mc.lr_first_factor)
+        self.map_step, self.map_opt = mk(self.mc.lr_factor)
+        self.select_fn = selection_lib.make_selection_fn(
+            self.intr, self.max_kf,
+            lc_enabled=bool(cfg["mapping"].get("LC", True)),
+            lc_ts=float(cfg["mapping"].get("LC_ts", 0.95)),
+            window_size=self.mc.mapping_window_size)
+
+        # camera-frame ray dirs (cached once, like datasets.py:134-135)
+        self.cam_rays_d = camera_ray_dirs(self.intr)
+
+        # host-side trajectory state
+        self.est_c2w = np.zeros((self.n_img, 4, 4), dtype=np.float32)
+        self.gt_c2w = np.zeros((self.n_img, 4, 4), dtype=np.float32)
+        self.tracking_weights = np.zeros(self.n_img, dtype=np.float32)
+        self.additional_map_records = np.zeros(self.n_img, dtype=np.int32)
+        self.t_iters = self.tc.iters
+        self.m_iters = self.mc.iters
+        self.tracking_back = False
+        self.lc_cnt = 0
+        self.mapping_cnt = 0
+        self.init_phase = True
+
+        # hooks (set by runtime wrappers): called as f(self, idx)
+        self.on_frame_done = None
+        self.on_mapping_done = None
+
+    # ------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _frame(self, idx: int):
+        color, depth, gt_c2w = self.dataset[idx]
+        return (jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32),
+                np.asarray(gt_c2w, np.float32))
+
+    # ------------------------------------------------------------------
+    def track_frame(self, idx: int, depth_img, color_img) -> np.ndarray:
+        """Optimize the frame's pose; returns the best 4x4 c2w.
+        Mirrors Tracker.run's inner loop (/root/reference/src/Tracker.py:309-365)."""
+        if self.tc.const_speed_assumption and idx >= 2:
+            prev = jnp.asarray(self.est_c2w[idx - 1])
+            prev2 = jnp.asarray(self.est_c2w[idx - 2])
+            pose7 = tracker_lib.init_pose_const_speed(prev, prev2)
+        else:
+            pose7 = pose_lib.matrix_to_cam_pose(
+                jnp.asarray(self.est_c2w[idx - 1])[None])[0]
+
+        pose = {"R": pose7[:4], "T": pose7[4:]}
+        opt_state = self.track_opt.init(pose)
+
+        best_pose7 = pose7
+        min_loss = np.inf
+        num_iters = self.t_iters
+        for it in range(num_iters):
+            cur_pose7 = jnp.concatenate([pose["R"], pose["T"]])
+            pose, opt_state, loss, unc = self.track_step(
+                self.params, pose, opt_state, depth_img, color_img,
+                self._next_key())
+            loss = float(loss)
+            if loss < min_loss:
+                min_loss = loss
+                best_pose7 = cur_pose7
+            # penultimate-iteration uncertainty drives activated mapping
+            # (Tracker.py:350-363 records at cam_iter == num_cam_iters-1
+            # after increment)
+            if it == num_iters - 2 and idx > 0:
+                mean_unc = float(unc)
+                self.tracking_weights[idx] = mean_unc
+                if self.tc.activated_mapping_mode and \
+                        mean_unc > self.tc.uncertainty_ts:
+                    self.t_iters = self.tc.iters * 2
+                    self.m_iters = self.mc.iters * 2
+                    self.tracking_back = True
+                    self.additional_map_records[idx] = 1
+                else:
+                    self.t_iters = self.tc.iters
+                    self.m_iters = self.mc.iters
+                    self.tracking_back = False
+
+        return np.asarray(pose_lib.cam_pose_to_matrix(best_pose7[None])[0])
+
+    # ------------------------------------------------------------------
+    def map_frame(self, idx: int, depth_img, color_img, gt_c2w: np.ndarray):
+        """One mapping phase over the keyframe window + current frame.
+        Mirrors Mapper.optimize_mapping (/root/reference/src/Mapper.py:276-459)."""
+        count = int(self.bank.count)
+        cur_pose7 = pose_lib.matrix_to_cam_pose(
+            jnp.asarray(self.est_c2w[idx])[None])[0]
+
+        # --- window selection ---
+        if count > 2:
+            res = self.select_fn(self.bank, depth_img, color_img,
+                                 jnp.asarray(self.est_c2w[idx]), idx,
+                                 self._next_key())
+            if self.tracking_back and self.tc.activated_mapping_mode:
+                sel_mask = np.asarray(res.back_mask)
+            elif bool(res.lc_flag):
+                sel_mask = np.asarray(res.lc_mask)
+                self.lc_cnt += 1
+                if self.verbose:
+                    print(f"[LC] loop closure at frame {idx} "
+                          f"(covis {float(jnp.max(res.percent_inside)):.3f})")
+            else:
+                sel_mask = np.asarray(res.normal_mask)
+        else:
+            sel_mask = np.zeros(self.max_kf, dtype=bool)
+
+        probs, extra = selection_lib.window_probs(self.max_kf, count, sel_mask)
+
+        # --- BA pose gradient mask ---
+        joint_opt = self.mc.joint_opt and count > 4
+        pose_grad_mask = np.zeros((self.max_kf + 1, 1), dtype=np.float32)
+        if joint_opt:
+            window = probs[:self.max_kf] > 0
+            slots = np.nonzero(window)[0]
+            if len(slots):
+                window[slots[0]] = False  # oldest window frame stays fixed
+            pose_grad_mask[:self.max_kf, 0] = window.astype(np.float32)
+            pose_grad_mask[self.max_kf, 0] = 1.0  # current frame pose
+
+        opt_tree = {
+            "scene": self.params,
+            "poses": jnp.concatenate([self.bank.pose7, cur_pose7[None]],
+                                     axis=0),
+        }
+        first = self.init_phase
+        step = self.map_step_first if first else self.map_step
+        opt = self.map_opt_first if first else self.map_opt
+        iters = self.mc.iters_first if first else self.m_iters
+        opt_state = opt.init(opt_tree)
+
+        probs_j = jnp.asarray(probs, jnp.float32)
+        extra_j = jnp.asarray(extra, jnp.float32)
+        mask_j = jnp.asarray(pose_grad_mask)
+        loss = np.nan
+        for _ in range(iters):
+            opt_tree, opt_state, loss = step(
+                opt_tree, opt_state, self.bank, depth_img, color_img,
+                self.cam_rays_d, probs_j, extra_j, mask_j, self._next_key())
+
+        self.params = opt_tree["scene"]
+        if joint_opt:
+            poses = opt_tree["poses"]
+            self.bank = self.bank._replace(pose7=poses[:self.max_kf])
+            self.est_c2w[idx] = np.asarray(
+                pose_lib.cam_pose_to_matrix(poses[self.max_kf][None])[0])
+        self.mapping_cnt += 1
+        self.init_phase = False
+        return float(loss)
+
+    # ------------------------------------------------------------------
+    def maybe_add_keyframe(self, idx: int, depth_img, color_img,
+                           gt_c2w: np.ndarray):
+        if idx % self.mc.keyframe_every == 0 or self.tracking_back:
+            if int(self.bank.count) >= self.max_kf:
+                return
+            self.bank = self._add_kf(
+                self.bank, depth_img, color_img, self.cam_rays_d,
+                jnp.asarray(self.est_c2w[idx]), jnp.asarray(gt_c2w),
+                jnp.int32(idx), self._next_key())
+
+    # ------------------------------------------------------------------
+    def step_frame(self, idx: int):
+        """Process one frame end-to-end (track -> map -> keyframe)."""
+        color, depth, gt_c2w = self._frame(idx)
+        self.gt_c2w[idx] = gt_c2w
+
+        if idx == 0 or self.tc.gt_camera:
+            self.est_c2w[idx] = gt_c2w
+        else:
+            self.est_c2w[idx] = self.track_frame(idx, depth, color)
+
+        mapped = False
+        if idx % self.mc.every_frame == 0 or self.tracking_back or \
+                idx == self.n_img - 1:
+            self.map_frame(idx, depth, color, gt_c2w)
+            self.maybe_add_keyframe(idx, depth, color, gt_c2w)
+            mapped = True
+            if self.on_mapping_done is not None:
+                self.on_mapping_done(self, idx)
+
+        if self.on_frame_done is not None:
+            self.on_frame_done(self, idx)
+        return mapped
+
+    def run(self, progress: bool = True):
+        frames = range(self.n_img)
+        if progress:
+            try:
+                from tqdm import tqdm
+                frames = tqdm(frames, smoothing=0.05, desc="uni-slam-tpu")
+            except ImportError:
+                pass
+        for idx in frames:
+            self.step_frame(idx)
+        return self.est_c2w
