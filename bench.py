@@ -1,0 +1,144 @@
+"""Benchmark: rays/s per chip on the combined map+track workload.
+
+Replica-room0 workload shape (BASELINE.md): tracking 2000 rays x 8 iters per
+frame, mapping 4200 rays x 15 iters every 4th frame, 40 samples/ray,
+hash 16 (SDF) / 19 (color). Both phases run their real jitted optimization
+steps (forward + backward + Adam) on synthetic in-memory frames, so the
+number is the end-to-end training-step throughput, not a forward-only
+kernel number.
+
+Baseline: the reference never measured throughput (dead timers,
+/root/reference/src/Tracker.py:343). BASELINE.md's north star is >=2x an
+A100 running the reference; from the reference's workload shape and typical
+tcnn-SLAM frame times we estimate the A100 reference at ~4e5 rays/s, so the
+target (and `vs_baseline` denominator) is 8e5 rays/s.
+`vs_baseline >= 1.0` means the 2x-A100 target is met.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 8.0e5  # 2x estimated A100 reference throughput
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from unislam_tpu.core.rays import Intrinsics, camera_ray_dirs
+    from unislam_tpu.data.synthetic import SyntheticRoom, make_config
+    from unislam_tpu.engine.slam import UniSLAM
+
+    # Replica room0 camera and workload scale
+    intr = Intrinsics(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+    ds = SyntheticRoom(n_frames=16, intr=intr, half=3.5, orbit_r=1.2,
+                       sphere_c=(1.0, -1.0, 0.0), sphere_r=0.8,
+                       deg_per_frame=1.0)
+    cfg = make_config(ds, {
+        "tracking": {"pixels": 2000, "iters": 8, "ignore_edge_W": 75,
+                     "ignore_edge_H": 75},
+        "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
+                    "every_frame": 4, "keyframe_every": 4},
+        "rendering": {"n_stratified": 32, "n_importance": 8},
+        "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
+                 "voxel_sdf": 0.01, "voxel_color": 0.01,
+                 # TPU-native brick encoding: one gather row per point/level
+                 "encoding": "brick", "brick_levels": 4,
+                 "brick_features": 8, "brick_hash_size": 16},
+    })
+    slam = UniSLAM(cfg, ds, seed=0)
+
+    n_samples = 32 + 8
+    track_rays = 2000
+    map_rays = 4000 + 200
+
+    # ---- warmup: trigger all compiles via two real frames ----
+    t0 = time.time()
+    slam.step_frame(0)
+    slam.step_frame(1)
+    compile_s = time.time() - t0
+
+    # ---- timed region: the reference's per-4-frame cadence ----
+    # 3 tracked frames (8 iters each) + 1 mapped frame (15 iters), repeated.
+    color, depth, _ = slam._frame(2)
+    t_iters, m_iters = 8, 15
+    reps = 6
+
+    # tracking phase timing (fused whole-frame dispatch)
+    from unislam_tpu.core import pose as pose_lib
+    pose7 = pose_lib.matrix_to_cam_pose(jnp.asarray(slam.est_c2w[1])[None])[0]
+    pose = {"R": pose7[:4], "T": pose7[4:]}
+    opt_state = slam.track_opt.init(pose)
+    iters_j = jnp.int32(t_iters)
+    out = slam.track_frame_fn(slam.params, pose, opt_state, depth, color,
+                              slam._next_key(), iters_j)
+    out[1].block_until_ready()  # warm
+    t0 = time.time()
+    for _ in range(reps * 3):
+        out = slam.track_frame_fn(slam.params, pose, opt_state, depth, color,
+                                  slam._next_key(), iters_j)
+    out[1].block_until_ready()
+    track_time = time.time() - t0
+    track_ray_count = reps * 3 * t_iters * track_rays
+
+    # mapping phase timing (fused whole-phase dispatch)
+    import numpy as _np
+    from unislam_tpu.engine import selection as selection_lib
+    count = int(slam.bank.count)
+    probs, extra = selection_lib.window_probs(
+        slam.max_kf, count, _np.zeros(slam.max_kf, bool))
+    pg = _np.zeros((slam.max_kf + 1, 1), _np.float32)
+    opt_tree = {"scene": slam.params,
+                "poses": jnp.concatenate(
+                    [slam.bank.pose7,
+                     pose_lib.matrix_to_cam_pose(
+                         jnp.asarray(slam.est_c2w[1])[None])], axis=0)}
+    mstate = slam.map_opt.init(opt_tree)
+    probs_j = jnp.asarray(probs, jnp.float32)
+    extra_j = jnp.asarray(extra, jnp.float32)
+    pg_j = jnp.asarray(pg)
+    m_iters_j = jnp.int32(m_iters)
+    ot, ms, ml = slam.map_phase(opt_tree, mstate, slam.bank, depth, color,
+                                slam.cam_rays_d, probs_j, extra_j, pg_j,
+                                slam._next_key(), m_iters_j)
+    ml.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        ot, ms, ml = slam.map_phase(ot, ms, slam.bank, depth, color,
+                                    slam.cam_rays_d, probs_j, extra_j, pg_j,
+                                    slam._next_key(), m_iters_j)
+    ml.block_until_ready()
+    map_time = time.time() - t0
+    map_ray_count = reps * m_iters * map_rays
+
+    total_rays = track_ray_count + map_ray_count
+    total_time = track_time + map_time
+    rays_per_s = total_rays / total_time
+
+    result = {
+        "metric": "rays_per_s_per_chip_map_track",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+    }
+    print(json.dumps(result))
+    # diagnostics on stderr-ish second line (driver reads line 1)
+    import sys
+    print(json.dumps({
+        "track_rays_per_s": round(track_ray_count / track_time, 1),
+        "map_rays_per_s": round(map_ray_count / map_time, 1),
+        "points_per_s": round(rays_per_s * n_samples, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""TPU-native brick encoding: interpolation correctness, continuity,
+gradients, and end-to-end quality parity with the hash path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unislam_tpu.models import brick_encoding as be
+
+
+def small_spec():
+    return be.make_spec(n_levels=3, n_features=2, log2_hashmap_size=9,
+                        base_resolution=8, desired_resolution=64)
+
+
+def test_spec_structure():
+    spec = be.make_spec(n_levels=4, n_features=8, log2_hashmap_size=16,
+                        desired_resolution=816)
+    assert spec.out_dim == 32
+    assert spec.row_dim == 27 * 8
+    assert spec.resolutions[0] == 16 and spec.resolutions[-1] == 816
+    assert not spec.hashed[0]          # coarse bricks dense
+    assert spec.hashed[-1]             # fine bricks hashed
+    assert (np.diff(spec.row_offsets) > 0).all()
+
+
+def test_constant_table_constant_output():
+    spec = small_spec()
+    table = jnp.full((spec.total_rows, spec.row_dim), 0.5)
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (64, 3))
+    out = np.asarray(be.encode(table, pts, spec))
+    np.testing.assert_allclose(out, 0.5, atol=1e-6)
+
+
+def test_interpolation_is_trilinear_within_cell():
+    """Inside one cell the encoding must be exactly trilinear: check
+    midpoint = mean of the 8 corner evaluations."""
+    spec = be.make_spec(n_levels=1, n_features=1, log2_hashmap_size=12,
+                        base_resolution=9, desired_resolution=9)
+    table = jax.random.normal(jax.random.PRNGKey(1),
+                              (spec.total_rows, spec.row_dim))
+    res = float(spec.resolutions[0])
+    # pick cell (2,2,2): vertices at lattice coords /(res-1)
+    def at(xyz):
+        return float(be.encode(table, jnp.asarray([xyz]) / (res - 1),
+                               spec)[0, 0])
+
+    corners = [at([2 + dx, 2 + dy, 2 + dz])
+               for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    mid = at([2.5, 2.5, 2.5])
+    np.testing.assert_allclose(mid, np.mean(corners), rtol=1e-5)
+    # linear along an edge
+    q = at([2.25, 2.0, 2.0])
+    np.testing.assert_allclose(q, 0.75 * corners[0] + 0.25 * corners[4],
+                               rtol=1e-5)
+
+
+def test_continuity_inside_brick():
+    """Crossing a cell boundary *within* a brick must be continuous."""
+    spec = be.make_spec(n_levels=1, n_features=2, log2_hashmap_size=12,
+                        base_resolution=17, desired_resolution=17)
+    table = jax.random.normal(jax.random.PRNGKey(2),
+                              (spec.total_rows, spec.row_dim))
+    res = float(spec.resolutions[0])
+    # cells 4 and 5 share brick 2 (cells [4,6)); boundary at vertex 5
+    eps = 1e-4
+    lo = be.encode(table, jnp.asarray([[5 - eps, 3.3, 3.3]]) / (res - 1), spec)
+    hi = be.encode(table, jnp.asarray([[5 + eps, 3.3, 3.3]]) / (res - 1), spec)
+    np.testing.assert_allclose(np.asarray(lo), np.asarray(hi), atol=1e-3)
+
+
+def test_gradients_flow_to_table_and_points():
+    spec = small_spec()
+    table = be.init_table(jax.random.PRNGKey(0), spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+
+    g_t = jax.grad(lambda t: jnp.sum(be.encode(t, pts, spec) ** 2))(table)
+    assert np.isfinite(np.asarray(g_t)).all()
+    assert (np.abs(np.asarray(g_t)) > 0).any()
+    # at most one row per point per level receives gradient
+    touched = (np.abs(np.asarray(g_t)) > 0).any(axis=1).sum()
+    assert touched <= 32 * spec.n_levels
+
+    g_p = jax.grad(lambda p: jnp.sum(be.encode(table, p, spec) ** 2))(pts)
+    assert np.isfinite(np.asarray(g_p)).all()
+
+
+def test_scene_integration_brick_mode():
+    from unislam_tpu.models import scene as scene_lib
+    cfg = {
+        "scale": 1,
+        "planes_res": {"bound_dividable": 0.24},
+        "mapping": {"bound": [[-1, 1], [-1, 1], [-1, 1]]},
+        "grid": {"hash_size_sdf": 10, "hash_size_color": 10,
+                 "voxel_sdf": 0.05, "voxel_color": 0.05,
+                 "encoding": "brick", "brick_levels": 3,
+                 "brick_features": 4, "brick_hash_size": 10},
+        "model": {"truncation": 0.06, "c_dim": 32},
+        "rendering": {"learnable_beta": True},
+    }
+    sc = scene_lib.make_scene_config(cfg)
+    assert sc.encoding == "brick" and sc.brick_spec is not None
+    params = scene_lib.init_params(jax.random.PRNGKey(0), sc)
+    assert "table" in params and "sdf_table" not in params
+    out = scene_lib.query(params, sc, jax.random.uniform(
+        jax.random.PRNGKey(1), (50, 3)))
+    assert out.shape == (50, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    g = jax.grad(lambda p: jnp.sum(
+        scene_lib.query(p, sc, jax.random.uniform(
+            jax.random.PRNGKey(2), (50, 3))) ** 2))(params)
+    flat = np.concatenate([np.asarray(x).ravel()
+                           for x in jax.tree_util.tree_leaves(g)])
+    assert np.isfinite(flat).all() and (np.abs(flat) > 0).any()
+
+
+@pytest.mark.slow
+def test_brick_slam_quality_parity():
+    """E2E SLAM with the brick encoding must match the hash path's quality
+    on the synthetic room (the TPU-native performance mode is not allowed to
+    regress accuracy)."""
+    from unislam_tpu.core.rays import Intrinsics
+    from unislam_tpu.data.synthetic import SyntheticRoom, make_config
+    from unislam_tpu.engine.slam import UniSLAM
+    from unislam_tpu.tools.eval_ate import evaluate_ate
+
+    ds = SyntheticRoom(n_frames=9,
+                       intr=Intrinsics(H=40, W=52, fx=45.0, fy=45.0,
+                                       cx=25.5, cy=19.5),
+                       deg_per_frame=1.5)
+    cfg = make_config(ds, {
+        "tracking": {"pixels": 600, "iters": 16, "ignore_edge_W": 3,
+                     "ignore_edge_H": 3, "lr_T": 0.01, "lr_R": 0.004},
+        "mapping": {"pixels": 800, "iters": 8, "iters_first": 25,
+                    "every_frame": 2, "keyframe_every": 2},
+        "rendering": {"n_stratified": 16, "n_importance": 4},
+        "grid": {"encoding": "brick", "brick_levels": 3,
+                 "brick_features": 8, "brick_hash_size": 12},
+    })
+    slam = UniSLAM(cfg, ds, seed=0)
+    slam.run(progress=False)
+    _, results = evaluate_ate(slam.gt_c2w[:, :3, 3], slam.est_c2w[:, :3, 3])
+    assert results["error.rmse"] < 5.0, results

@@ -1,0 +1,73 @@
+"""Full-runtime smoke: SLAM + checkpoints + meshing + rendering eval on the
+synthetic room (the reference's end-to-end 'metrics-as-tests' flow)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unislam_tpu.core.rays import Intrinsics
+from unislam_tpu.data.synthetic import SyntheticRoom, make_config
+from unislam_tpu.runtime import SLAMRuntime
+
+
+@pytest.mark.slow
+def test_runtime_end_to_end(tmp_path):
+    ds = SyntheticRoom(n_frames=7,
+                       intr=Intrinsics(H=40, W=52, fx=45.0, fy=45.0,
+                                       cx=25.5, cy=19.5),
+                       deg_per_frame=1.5)
+    out = str(tmp_path / "run")
+    cfg = make_config(ds, {
+        "tracking": {"pixels": 500, "iters": 10, "ignore_edge_W": 3,
+                     "ignore_edge_H": 3, "lr_T": 0.01, "lr_R": 0.004,
+                     "vis_freq": 6, "vis_pose_freq": 4},
+        "mapping": {"pixels": 700, "iters": 6, "iters_first": 20,
+                    "every_frame": 2, "keyframe_every": 2, "mesh_freq": 4,
+                    "ckpt_freq": 4, "vis_freq": 1000},
+        "rendering": {"n_stratified": 16, "n_importance": 4},
+        "meshing": {"resolution": 0.04},
+        "data": {"output": out},
+    })
+    rt = SLAMRuntime(cfg, output=out, dataset=ds)
+    rt.run()
+
+    # trajectory written + reasonable
+    assert np.abs(rt.slam.est_c2w[-1][:3, 3]
+                  - rt.slam.gt_c2w[-1][:3, 3]).max() < 0.2
+
+    # checkpoint written and resumable
+    ckpts = glob.glob(os.path.join(out, "ckpts", "*.npz"))
+    assert ckpts, "no checkpoints written"
+
+    # periodic + final meshes exist and are loadable
+    meshes = glob.glob(os.path.join(out, "mesh", "*.ply"))
+    assert any("final_mesh" in m for m in meshes), meshes
+    from unislam_tpu.utils.mesh_io import read_ply
+    final = [m for m in meshes if "final_mesh" in m and "culled" not in m][0]
+    v, f, c = read_ply(final)
+    assert len(v) > 100 and len(f) > 100 and c is not None
+    # culled variant produced by the finalize step
+    assert any("culled" in m for m in meshes), meshes
+
+    # ATE plots + output.txt with results json
+    assert os.path.exists(os.path.join(out, "output.txt"))
+    records = []
+    with open(os.path.join(out, "output.txt")) as fh:
+        for line in fh:
+            try:
+                records.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    assert any("error.rmse" in r for r in records), records   # ATE block
+    assert any("avg_psnr" in r for r in records), records     # rendering block
+    assert glob.glob(os.path.join(out, "pose_vis", "pose_*.png"))
+
+    # rendering eval artifacts (eval_rendering runs at the last frame)
+    assert glob.glob(os.path.join(out, "rendered_image", "*.png"))
+    assert glob.glob(os.path.join(out, "rendered_uncertainty", "*.png"))
+
+    # tracking visualization panels
+    assert glob.glob(os.path.join(out, "tracking_vis", "*.jpg"))

@@ -81,22 +81,36 @@ def from_cfg(cfg) -> MapperConfig:
 
 def make_optimizer(mc: MapperConfig, lr_factor: float):
     """Per-group Adam mirroring Mapper.create_optimizer (Mapper.py:111-139):
-    decoders (incl. beta), sdf hash table, color hash table, and BA poses."""
-    labels = {
-        "scene": {"sdf_table": "hash", "color_table": "c_hash",
-                  "sdf_mlp": "dec", "color_mlp": "dec", "beta": "dec"},
-        "poses": "poses",
-    }
+    decoders (incl. beta), grid tables, and BA poses. Labels are derived
+    from the opt_tree structure so both encodings (separate sdf/color hash
+    tables, or one shared brick table) get the right groups."""
+
+    def label_fn(opt_tree):
+        def scene_label(key):
+            if key == "sdf_table" or key == "table":
+                return "hash"
+            if key == "color_table":
+                return "c_hash"
+            return "dec"
+
+        return {
+            "scene": {k: jax.tree_util.tree_map(
+                lambda _: scene_label(k), v)
+                for k, v in opt_tree["scene"].items()},
+            "poses": "poses",
+        }
+
     return optax.multi_transform(
         {"dec": optax.adam(mc.lr_decoders * lr_factor),
          "hash": optax.adam(mc.lr_hash * lr_factor),
          "c_hash": optax.adam(mc.lr_c_hash * lr_factor),
          "poses": optax.adam(mc.joint_opt_cam_lr)},
-        labels)
+        label_fn)
 
 
 def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
-                      intr: Intrinsics, max_kf: int, bank_size: int):
+                      intr: Intrinsics, max_kf: int, bank_size: int,
+                      mesh=None):
     """Build the jitted mapping step.
 
     step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
@@ -130,6 +144,9 @@ def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
         slot = jnp.concatenate([slot_main, slot_extra])
         pix_b = jax.random.randint(k_pix_b, (n_rays,), 0, bank_size)
         pix_c = jax.random.randint(k_pix_c, (n_rays,), 0, HW)
+        if mesh is not None:
+            from unislam_tpu.parallel.sharding import shard_rays
+            slot, pix_b, pix_c = shard_rays(mesh, slot, pix_b, pix_c)
 
         is_cur = slot == max_kf
         kf_slot = jnp.minimum(slot, max_kf - 1)
@@ -184,6 +201,28 @@ def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
             opt_tree = optax.apply_updates(opt_tree, updates)
             return opt_tree, opt_state, loss
 
-        return step, opt
+        @jax.jit
+        def map_phase(opt_tree, opt_state, bank, cur_depth, cur_color,
+                      cur_rays_d, sel_probs, extra_probs, pose_grad_mask, key,
+                      n_iters):
+            """Whole mapping phase in ONE device dispatch: `n_iters`
+            (dynamic, lax.fori_loop) Adam iterations over the window batch
+            (the reference's joint_iter loop, Mapper.py:366-445)."""
+
+            def body(i, carry):
+                opt_tree, opt_state, _ = carry
+                it_key = jax.random.fold_in(key, i)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    opt_tree, bank, cur_depth, cur_color, cur_rays_d,
+                    sel_probs, extra_probs, pose_grad_mask, it_key)
+                updates, opt_state = opt.update(grads, opt_state, opt_tree)
+                opt_tree = optax.apply_updates(opt_tree, updates)
+                return (opt_tree, opt_state, loss)
+
+            opt_tree, opt_state, loss = jax.lax.fori_loop(
+                0, n_iters, body, (opt_tree, opt_state, jnp.float32(0.0)))
+            return opt_tree, opt_state, loss
+
+        return step, opt, map_phase
 
     return make_step

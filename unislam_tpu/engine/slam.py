@@ -88,14 +88,16 @@ class UniSLAM:
         self._add_kf = kf_lib.make_add_keyframe(self.intr.H, self.intr.W,
                                                 self.bank_size)
 
-        # jitted steps
-        self.track_step, self.track_opt = tracker_lib.make_tracking_step(
-            self.sc, self.rc, self.tc, self.intr)
+        # jitted steps (single-iteration + fused whole-frame variants)
+        self.track_step, self.track_opt, self.track_frame_fn = \
+            tracker_lib.make_tracking_step(self.sc, self.rc, self.tc,
+                                           self.intr)
         mk = mapper_lib.make_mapping_step(self.sc, self.rc, self.mc,
                                           self.intr, self.max_kf,
                                           self.bank_size)
-        self.map_step_first, self.map_opt_first = mk(self.mc.lr_first_factor)
-        self.map_step, self.map_opt = mk(self.mc.lr_factor)
+        self.map_step_first, self.map_opt_first, self.map_phase_first = \
+            mk(self.mc.lr_first_factor)
+        self.map_step, self.map_opt, self.map_phase = mk(self.mc.lr_factor)
         self.select_fn = selection_lib.make_selection_fn(
             self.intr, self.max_kf,
             lc_enabled=bool(cfg["mapping"].get("LC", True)),
@@ -146,36 +148,29 @@ class UniSLAM:
         pose = {"R": pose7[:4], "T": pose7[4:]}
         opt_state = self.track_opt.init(pose)
 
-        best_pose7 = pose7
-        min_loss = np.inf
-        num_iters = self.t_iters
-        for it in range(num_iters):
-            cur_pose7 = jnp.concatenate([pose["R"], pose["T"]])
-            pose, opt_state, loss, unc = self.track_step(
-                self.params, pose, opt_state, depth_img, color_img,
-                self._next_key())
-            loss = float(loss)
-            if loss < min_loss:
-                min_loss = loss
-                best_pose7 = cur_pose7
-            # penultimate-iteration uncertainty drives activated mapping
-            # (Tracker.py:350-363 records at cam_iter == num_cam_iters-1
-            # after increment)
-            if it == num_iters - 2 and idx > 0:
-                mean_unc = float(unc)
-                self.tracking_weights[idx] = mean_unc
-                if self.tc.activated_mapping_mode and \
-                        mean_unc > self.tc.uncertainty_ts:
-                    self.t_iters = self.tc.iters * 2
-                    self.m_iters = self.mc.iters * 2
-                    self.tracking_back = True
-                    self.additional_map_records[idx] = 1
-                else:
-                    self.t_iters = self.tc.iters
-                    self.m_iters = self.mc.iters
-                    self.tracking_back = False
+        # whole-frame tracking in one fused device dispatch
+        best7, min_loss, unc_prev, unc_last = self.track_frame_fn(
+            self.params, pose, opt_state, depth_img, color_img,
+            self._next_key(), jnp.int32(self.t_iters))
 
-        return np.asarray(pose_lib.cam_pose_to_matrix(best_pose7[None])[0])
+        # penultimate-iteration uncertainty drives activated mapping
+        # (Tracker.py:350-363 records at cam_iter == num_cam_iters-1 after
+        # the increment, i.e. the second-to-last iteration's value)
+        if idx > 0:
+            mean_unc = float(unc_prev)
+            self.tracking_weights[idx] = mean_unc
+            if self.tc.activated_mapping_mode and \
+                    mean_unc > self.tc.uncertainty_ts:
+                self.t_iters = self.tc.iters * 2
+                self.m_iters = self.mc.iters * 2
+                self.tracking_back = True
+                self.additional_map_records[idx] = 1
+            else:
+                self.t_iters = self.tc.iters
+                self.m_iters = self.mc.iters
+                self.tracking_back = False
+
+        return np.asarray(pose_lib.cam_pose_to_matrix(best7[None])[0])
 
     # ------------------------------------------------------------------
     def map_frame(self, idx: int, depth_img, color_img, gt_c2w: np.ndarray):
@@ -222,7 +217,7 @@ class UniSLAM:
                                      axis=0),
         }
         first = self.init_phase
-        step = self.map_step_first if first else self.map_step
+        phase = self.map_phase_first if first else self.map_phase
         opt = self.map_opt_first if first else self.map_opt
         iters = self.mc.iters_first if first else self.m_iters
         opt_state = opt.init(opt_tree)
@@ -230,11 +225,11 @@ class UniSLAM:
         probs_j = jnp.asarray(probs, jnp.float32)
         extra_j = jnp.asarray(extra, jnp.float32)
         mask_j = jnp.asarray(pose_grad_mask)
-        loss = np.nan
-        for _ in range(iters):
-            opt_tree, opt_state, loss = step(
-                opt_tree, opt_state, self.bank, depth_img, color_img,
-                self.cam_rays_d, probs_j, extra_j, mask_j, self._next_key())
+        # whole mapping phase in one fused device dispatch
+        opt_tree, opt_state, loss = phase(
+            opt_tree, opt_state, self.bank, depth_img, color_img,
+            self.cam_rays_d, probs_j, extra_j, mask_j, self._next_key(),
+            jnp.int32(iters))
 
         self.params = opt_tree["scene"]
         if joint_opt:

@@ -79,7 +79,7 @@ def make_optimizer(tc: TrackerConfig):
 
 
 def make_tracking_step(sc: SceneConfig, rc: RenderConfig, tc: TrackerConfig,
-                       intr: Intrinsics):
+                       intr: Intrinsics, mesh=None):
     """Build the jitted tracking step.
 
     step(params, pose, opt_state, depth_img, color_img, key) ->
@@ -100,6 +100,10 @@ def make_tracking_step(sc: SceneConfig, rc: RenderConfig, tc: TrackerConfig,
         i, j, gt_depth, gt_color = rays_lib.sample_pixels(
             k_pix, tc.pixels, tc.ignore_edge_H, intr.H - tc.ignore_edge_H,
             tc.ignore_edge_W, intr.W - tc.ignore_edge_W, depth_img, color_img)
+        if mesh is not None:
+            from unislam_tpu.parallel.sharding import shard_rays
+            i, j, gt_depth, gt_color = shard_rays(mesh, i, j, gt_depth,
+                                                  gt_color)
         rays_o, rays_d = rays_lib.rays_from_uv(i, j, c2w, intr)
 
         far = rays_lib.ray_aabb_far(jax.lax.stop_gradient(rays_o),
@@ -138,7 +142,35 @@ def make_tracking_step(sc: SceneConfig, rc: RenderConfig, tc: TrackerConfig,
         pose = optax.apply_updates(pose, updates)
         return pose, opt_state, loss, mean_unc
 
-    return step, opt
+    @jax.jit
+    def track_frame(params, pose, opt_state, depth_img, color_img, key,
+                    n_iters):
+        """Whole-frame tracking in ONE device dispatch: `n_iters` (dynamic,
+        lax.fori_loop) optimization iterations, keeping the best-loss pose
+        (Tracker.py:331-365). Returns (best_pose7, final_loss, min_loss,
+        unc_penultimate, unc_last)."""
+
+        def body(i, carry):
+            pose, opt_state, best7, min_loss, unc_prev, unc_last = carry
+            it_key = jax.random.fold_in(key, i)
+            cur7 = jnp.concatenate([pose["R"], pose["T"]])
+            (loss, unc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                pose, params, depth_img, color_img, it_key)
+            updates, opt_state = opt.update(grads, opt_state, pose)
+            pose = optax.apply_updates(pose, updates)
+            better = loss < min_loss
+            best7 = jnp.where(better, cur7, best7)
+            min_loss = jnp.where(better, loss, min_loss)
+            return (pose, opt_state, best7, min_loss, unc_last, unc)
+
+        init7 = jnp.concatenate([pose["R"], pose["T"]])
+        carry = (pose, opt_state, init7, jnp.float32(jnp.inf),
+                 jnp.float32(0.0), jnp.float32(0.0))
+        pose, opt_state, best7, min_loss, unc_prev, unc_last = \
+            jax.lax.fori_loop(0, n_iters, body, carry)
+        return best7, min_loss, unc_prev, unc_last
+
+    return step, opt, track_frame
 
 
 def init_pose_const_speed(prev: jnp.ndarray, prev2: jnp.ndarray) -> jnp.ndarray:

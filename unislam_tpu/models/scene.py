@@ -21,13 +21,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unislam_tpu.models import decoders, hash_encoding
+from unislam_tpu.models import brick_encoding, decoders, hash_encoding
+from unislam_tpu.models.brick_encoding import BrickSpec
 from unislam_tpu.models.hash_encoding import HashGridSpec
 
 
 @dataclass(frozen=True)
 class SceneConfig:
-    """Static scene structure. `bound` is (3, 2) world-space min/max."""
+    """Static scene structure. `bound` is (3, 2) world-space min/max.
+
+    Two encodings:
+    - "hash": instant-ngp vertex hashing, the reference-parity mode
+      (tcnn semantics, /root/reference/src/UNISLAM.py:224-259).
+    - "brick": the TPU-native brick layout (models/brick_encoding.py) —
+      one gather row per point per level, one shared table for both heads.
+    """
     sdf_spec: HashGridSpec
     color_spec: HashGridSpec
     bound: np.ndarray
@@ -37,6 +45,8 @@ class SceneConfig:
     n_blocks: int = 2
     learnable_beta: bool = True
     beta_init: float = 10.0
+    encoding: str = "hash"
+    brick_spec: BrickSpec | None = None
 
     @property
     def bound_min(self) -> np.ndarray:
@@ -72,6 +82,16 @@ def make_scene_config(cfg: Dict[str, Any]) -> SceneConfig:
         log2_hashmap_size=cfg["grid"]["hash_size_color"],
         desired_resolution=res_color)
 
+    encoding = cfg["grid"].get("encoding", "hash")
+    brick_spec = None
+    if encoding == "brick":
+        brick_spec = brick_encoding.make_spec(
+            n_levels=int(cfg["grid"].get("brick_levels", 4)),
+            n_features=int(cfg["grid"].get("brick_features", 8)),
+            log2_hashmap_size=int(cfg["grid"].get(
+                "brick_hash_size", cfg["grid"]["hash_size_sdf"])),
+            desired_resolution=res_sdf)
+
     return SceneConfig(
         sdf_spec=sdf_spec,
         color_spec=color_spec,
@@ -81,12 +101,24 @@ def make_scene_config(cfg: Dict[str, Any]) -> SceneConfig:
         hidden_size=16,
         n_blocks=2,
         learnable_beta=bool(cfg["rendering"].get("learnable_beta", True)),
+        encoding=encoding,
+        brick_spec=brick_spec,
     )
 
 
 def init_params(key: jax.Array, sc: SceneConfig) -> Dict[str, Any]:
     """Initialize the full scene parameter pytree."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    if sc.encoding == "brick":
+        feat_dim = sc.brick_spec.out_dim
+        return {
+            "table": brick_encoding.init_table(k1, sc.brick_spec),
+            "sdf_mlp": decoders.init_mlp(k3, feat_dim, sc.hidden_size, 1,
+                                         sc.n_blocks),
+            "color_mlp": decoders.init_mlp(k4, feat_dim, sc.hidden_size, 3,
+                                           sc.n_blocks),
+            "beta": jnp.full((1,), sc.beta_init, dtype=jnp.float32),
+        }
     return {
         "sdf_table": hash_encoding.init_table(k1, sc.sdf_spec),
         "color_table": hash_encoding.init_table(k2, sc.color_spec),
@@ -108,20 +140,36 @@ def normalize_points(sc: SceneConfig, pts: jnp.ndarray) -> jnp.ndarray:
 def raw_sdf(params: Dict[str, Any], sc: SceneConfig,
             p_nor: jnp.ndarray) -> jnp.ndarray:
     """SDF at normalized points (N, 3) -> (N,). Mirrors decoders.py:107-130."""
-    feat = hash_encoding.encode(params["sdf_table"], p_nor, sc.sdf_spec)
+    if sc.encoding == "brick":
+        feat = brick_encoding.encode(params["table"], p_nor, sc.brick_spec)
+    else:
+        feat = hash_encoding.encode(params["sdf_table"], p_nor, sc.sdf_spec)
     return decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
 
 
 def raw_rgb(params: Dict[str, Any], sc: SceneConfig,
             p_nor: jnp.ndarray) -> jnp.ndarray:
     """RGB at normalized points (N, 3) -> (N, 3). Mirrors decoders.py:132-155."""
-    feat = hash_encoding.encode(params["color_table"], p_nor, sc.color_spec)
+    if sc.encoding == "brick":
+        feat = brick_encoding.encode(params["table"], p_nor, sc.brick_spec)
+    else:
+        feat = hash_encoding.encode(params["color_table"], p_nor,
+                                    sc.color_spec)
     return decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
 
 
 def query(params: Dict[str, Any], sc: SceneConfig,
           p_nor: jnp.ndarray) -> jnp.ndarray:
-    """Joint query -> (N, 4) [r, g, b, sdf]. Mirrors decoders.forward."""
+    """Joint query -> (N, 4) [r, g, b, sdf]. Mirrors decoders.forward.
+
+    In brick mode the shared features are encoded ONCE and feed both heads
+    (one gather serves SDF and RGB — half the reference's memory traffic).
+    """
+    if sc.encoding == "brick":
+        feat = brick_encoding.encode(params["table"], p_nor, sc.brick_spec)
+        sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
+        rgb = decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
+        return jnp.concatenate([rgb, sdf[..., None]], axis=-1)
     sdf = raw_sdf(params, sc, p_nor)
     rgb = raw_rgb(params, sc, p_nor)
     return jnp.concatenate([rgb, sdf[..., None]], axis=-1)

@@ -1,0 +1,65 @@
+"""Device-mesh sharding for ray batches and (optionally) hash tables.
+
+The reference's only parallelism is tracker-vs-mapper process concurrency
+over shared CUDA memory (SURVEY.md §2.3); it has no data/model parallelism.
+The TPU-native scaling dimension is the ray batch (rays x samples): we lay a
+1-D `('rays',)` mesh over the chips, shard every per-ray array, replicate
+scene params, and let XLA all-reduce the hash-table/MLP gradients over ICI
+(inserted automatically by jit from the shardings; overlapped with backward).
+
+The analog of model parallelism for this workload is hash-table row sharding
+(`table_sharding`), useful when tables exceed per-chip HBM headroom; gathers
+then ride ICI. Both composable: params_spec(replicated|sharded tables) +
+ray batch sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the ray axis. On a pod slice, lay all chips on one axis
+    (ICI-contiguous for a v5e ring)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(RAY_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rays(mesh: Optional[Mesh], *arrays):
+    """Constrain per-ray arrays (leading dim = rays) to the ray axis.
+    No-op when mesh is None (single-chip path compiles identically)."""
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = tuple(
+        jax.lax.with_sharding_constraint(a, NamedSharding(mesh, P(RAY_AXIS)))
+        for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def scene_param_shardings(mesh: Mesh, params, shard_tables: bool = False):
+    """Sharding pytree for scene params: replicated, or hash-table rows
+    sharded over the mesh (model-parallel analog)."""
+    def spec(path, leaf):
+        name = jax.tree_util.keystr(path)
+        if shard_tables and ("sdf_table" in name or "color_table" in name):
+            return NamedSharding(mesh, P(RAY_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)

@@ -1,0 +1,163 @@
+"""Full-system runtime: dataset + SLAM core + logging/meshing/eval/vis.
+
+This is the layer the reference spreads across UNISLAM.__init__/run and the
+tails of Tracker.run / Mapper.run (periodic ATE plots, checkpoints, meshing,
+final rendering + reconstruction evaluation). The SLAM core (engine/slam.py)
+stays free of file IO; this wrapper attaches the side subsystems via hooks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from unislam_tpu.data.datasets import get_dataset
+from unislam_tpu.engine.slam import UniSLAM, intrinsics_from_cfg
+from unislam_tpu.tools import eval_ate
+from unislam_tpu.utils.logger import Logger, latest_checkpoint, load_into
+from unislam_tpu.utils.mesher import Mesher
+from unislam_tpu.utils.visualizer import FrameVisualizer
+
+
+class SLAMRuntime:
+    def __init__(self, cfg, input_folder: Optional[str] = None,
+                 output: Optional[str] = None, n_frames: Optional[int] = None,
+                 dataset=None, seed: int = 0):
+        self.cfg = cfg
+        self.output = output or cfg["data"]["output"]
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+
+        if dataset is None:
+            dataset = get_dataset(cfg, input_folder, cfg.get("scale", 1))
+        if n_frames is not None:
+            dataset = _Truncated(dataset, n_frames)
+        self.dataset = dataset
+
+        self.slam = UniSLAM(cfg, dataset, output=self.output, seed=seed)
+        self.logger = Logger(self.slam, os.path.join(self.output, "ckpts"))
+        self.mesher = Mesher(cfg, self.slam.sc, self.slam.intr)
+
+        t, m = cfg["tracking"], cfg["mapping"]
+        self.track_vis = FrameVisualizer(
+            t.get("vis_freq", 50), os.path.join(self.output, "tracking_vis"),
+            self.slam.sc, self.slam.rc, self.slam.intr)
+        self.map_vis = FrameVisualizer(
+            m.get("vis_freq", 50), os.path.join(self.output, "mapping_vis"),
+            self.slam.sc, self.slam.rc, self.slam.intr)
+        self.vis_pose_freq = t.get("vis_pose_freq", 100)
+        self.mesh_freq = m.get("mesh_freq", 100000)
+        self.ckpt_freq = m.get("ckpt_freq", 500)
+        self.eval_rec = cfg["meshing"].get("eval_rec", False)
+        self.no_vis_first = t.get("no_vis_on_first_frame", True)
+        self._start_idx = 0
+
+        self.slam.on_frame_done = self._on_frame_done
+        self.slam.on_mapping_done = self._on_mapping_done
+
+        self._print_output_desc()
+
+    # ------------------------------------------------------------------
+    def _print_output_desc(self):
+        print(f"INFO: The output folder is {self.output}")
+        print(f"INFO: tracking/mapping visualizations under "
+              f"{self.output}/tracking_vis and {self.output}/mapping_vis")
+        print(f"INFO: meshes under {self.output}/mesh, checkpoints under "
+              f"{self.output}/ckpts")
+
+    def resume(self):
+        path = latest_checkpoint(os.path.join(self.output, "ckpts"))
+        if path is None:
+            print("INFO: no checkpoint found; starting fresh")
+            return
+        self._start_idx = load_into(self.slam, path)
+        print(f"INFO: resumed from {path} at frame {self._start_idx}")
+
+    # ------------------------------------------------------------------
+    def _on_frame_done(self, slam: UniSLAM, idx: int):
+        n = slam.n_img
+        if idx > 0 and (idx % self.vis_pose_freq == 0 or idx == n - 1):
+            plot_path = os.path.join(self.output, "pose_vis",
+                                     f"pose_{idx}.png")
+            _, results = eval_ate.pose_evaluation(
+                slam.gt_c2w[:idx + 1], slam.est_c2w[:idx + 1],
+                slam.tracking_weights[:idx + 1], plot_path,
+                scale=self.cfg.get("scale", 1),
+                pose_alignment=self.cfg["tracking"].get("pose_alignment",
+                                                        False))
+            if idx == n - 1:
+                with open(os.path.join(self.output, "output.txt"), "a") as f:
+                    f.write(json.dumps(results) + "\n")
+                    f.write(f"normal mapping frames: "
+                            f"{n / slam.mc.every_frame}\n")
+                    f.write(f"total mapping frames: {slam.mapping_cnt}\n")
+                    f.write(f"total LC: {slam.lc_cnt}\n")
+                eval_ate.vis_unc_mapstep(slam.tracking_weights,
+                                         slam.additional_map_records,
+                                         self.output)
+        if idx > 0 and idx % self.track_vis.freq == 0:
+            color, depth, _ = self.dataset[idx]
+            self.track_vis.save_imgs(idx, 0, depth, color, slam.est_c2w[idx],
+                                     slam.params)
+
+    def _on_mapping_done(self, slam: UniSLAM, idx: int):
+        n = slam.n_img
+        if (idx % self.ckpt_freq == 0 and idx > 0) or idx == n - 1:
+            self.logger.log(idx)
+        if idx % self.mesh_freq == 0 and idx > 0:
+            self.mesher.get_mesh(
+                os.path.join(self.output, "mesh", f"{idx:05d}_mesh.ply"),
+                slam.params, slam.bank, verbose=True)
+        if idx > 0 and idx % self.map_vis.freq == 0:
+            color, depth, _ = self.dataset[idx]
+            self.map_vis.save_imgs(idx, 0, depth, color, slam.est_c2w[idx],
+                                   slam.params)
+        if idx == n - 1:
+            self._finalize()
+
+    def _finalize(self):
+        from unislam_tpu.tools.cull_mesh import cull_mesh
+        from unislam_tpu.tools.eval_recon import eval_rendering
+
+        slam = self.slam
+        eval_rendering(slam, self.output)
+        name = ("final_mesh_eval_rec.ply" if self.eval_rec
+                else "final_mesh.ply")
+        mesh_file = os.path.join(self.output, "mesh", name)
+        out = self.mesher.get_mesh(mesh_file, slam.params, slam.bank,
+                                   verbose=True)
+        if out is not None:
+            cull_mesh(out, self.cfg, slam.intr, frames=self.dataset,
+                      estimate_c2w_list=slam.est_c2w, eval_rec=self.eval_rec)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        n = self.slam.n_img
+        frames = range(self._start_idx, n)
+        try:
+            from tqdm import tqdm
+            frames = tqdm(frames, smoothing=0.05, desc="uni-slam-tpu")
+        except ImportError:
+            pass
+        for idx in frames:
+            self.slam.step_frame(idx)
+        return self.slam.est_c2w
+
+
+class _Truncated:
+    def __init__(self, ds, n):
+        self._ds = ds
+        self._n = min(n, len(ds))
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return self._ds[i]
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)

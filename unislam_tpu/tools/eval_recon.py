@@ -1,0 +1,377 @@
+"""Reconstruction + rendering evaluation.
+
+Rewrite of /root/reference/src/tools/eval_recon.py:40-328 without
+open3d/trimesh/torchmetrics:
+
+- 3D metrics (accuracy / completion / completion-ratio in cm) via KD-trees
+  over area-weighted surface samples, with optional point-to-point ICP
+  alignment (calc_3d_metric, :107-137).
+- 2D depth-L1 over random interior views, both meshes rendered by the native
+  z-buffer rasterizer (calc_2d_metric, :151-233; open3d offscreen renderer
+  replaced).
+- Rendering metrics every 5th frame: PSNR / MS-SSIM / depth-L1, plus LPIPS
+  when pretrained AlexNet weights are locally available (eval_rendering,
+  :235-307). Rendered RGB + colored uncertainty maps are saved like the
+  reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Optional
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+
+# ---------------------------------------------------------------------------
+# point sampling / ICP
+# ---------------------------------------------------------------------------
+
+def sample_surface(vertices: np.ndarray, faces: np.ndarray, n: int,
+                   seed: int = 0) -> np.ndarray:
+    """Area-weighted uniform samples on a triangle mesh (replacing
+    trimesh.sample.sample_surface)."""
+    rng = np.random.default_rng(seed)
+    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    probs = areas / areas.sum()
+    tri = rng.choice(len(faces), size=n, p=probs)
+    u = rng.random(n)
+    v = rng.random(n)
+    flip = u + v > 1
+    u[flip], v[flip] = 1 - u[flip], 1 - v[flip]
+    return (v0[tri] + u[:, None] * (v1[tri] - v0[tri])
+            + v[:, None] * (v2[tri] - v0[tri]))
+
+
+def icp_align(src: np.ndarray, dst: np.ndarray, threshold: float = 0.1,
+              iters: int = 20) -> np.ndarray:
+    """Point-to-point ICP: transformation aligning src onto dst (replacing
+    open3d registration_icp, eval_recon.py:61-75)."""
+    tree = cKDTree(dst)
+    T = np.eye(4)
+    cur = src.copy()
+    for _ in range(iters):
+        d, idx = tree.query(cur)
+        m = d < threshold
+        if m.sum() < 10:
+            break
+        p = cur[m]
+        q = dst[idx[m]]
+        pc, qc = p.mean(0), q.mean(0)
+        H = (p - pc).T @ (q - qc)
+        U, _, Vt = np.linalg.svd(H)
+        S = np.eye(3)
+        if np.linalg.det(Vt.T @ U.T) < 0:
+            S[2, 2] = -1
+        R = Vt.T @ S @ U.T
+        t = qc - R @ pc
+        step = np.eye(4)
+        step[:3, :3] = R
+        step[:3, 3] = t
+        T = step @ T
+        cur = cur @ R.T + t
+        if np.linalg.norm(step - np.eye(4)) < 1e-7:
+            break
+    return T
+
+
+# ---------------------------------------------------------------------------
+# 3D metrics
+# ---------------------------------------------------------------------------
+
+def accuracy(gt_points, rec_points):
+    d, _ = cKDTree(gt_points).query(rec_points)
+    return np.mean(d)
+
+
+def completion(gt_points, rec_points):
+    d, _ = cKDTree(rec_points).query(gt_points)
+    return np.mean(d)
+
+
+def completion_ratio(gt_points, rec_points, dist_th=0.01):
+    d, _ = cKDTree(rec_points).query(gt_points)
+    return np.mean((d < dist_th).astype(float))
+
+
+def calc_3d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
+                   num_points: int = 450_000, dist_th: float = 0.01):
+    """accuracy / completion / completion-ratio in cm
+    (eval_recon.py:107-137)."""
+    from unislam_tpu.utils.mesh_io import read_ply
+
+    rec_v, rec_f, _ = read_ply(rec_meshfile)
+    gt_v, gt_f, _ = read_ply(gt_meshfile)
+
+    if align:
+        T = icp_align(rec_v, gt_v)
+        rec_v = rec_v @ T[:3, :3].T + T[:3, 3]
+
+    rec_pc = sample_surface(rec_v, rec_f, num_points)
+    gt_pc = sample_surface(gt_v, gt_f, num_points)
+    acc = accuracy(gt_pc, rec_pc) * 100
+    comp = completion(gt_pc, rec_pc) * 100
+    ratio = completion_ratio(gt_pc, rec_pc, dist_th) * 100
+    results = {"accuracy": round(acc, 2), "completion": round(comp, 2),
+               "completion ratio": round(ratio, 2)}
+    print("accuracy: ", results["accuracy"])
+    print("completion: ", results["completion"])
+    print(f"completion ratio < {dist_th}: ", results["completion ratio"])
+    return results
+
+
+# ---------------------------------------------------------------------------
+# 2D depth metric
+# ---------------------------------------------------------------------------
+
+def _viewmatrix(forward, up, origin):
+    f = forward / np.linalg.norm(forward)
+    right = np.cross(f, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, f)
+    c2w = np.eye(4)
+    # OpenGL camera: -z forward
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = -f
+    c2w[:3, 3] = origin
+    return c2w
+
+
+def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
+                   n_imgs: int = 1000, seed: int = 0):
+    """Depth-L1 (cm) between gt and reconstructed meshes rendered from
+    random interior views (eval_recon.py:151-233). Views that would see the
+    'unseen' gt region (<gt>_pc_unseen.npy, same convention as the
+    reference) are resampled."""
+    from unislam_tpu.native.lib import rasterize_depth
+    from unislam_tpu.utils.mesh_io import read_ply
+
+    H = W = 500
+    fx = fy = 300.0
+    cx = cy = H / 2.0 - 0.5
+
+    gt_v, gt_f, _ = read_ply(gt_meshfile)
+    rec_v, rec_f, _ = read_ply(rec_meshfile)
+    unseen_file = gt_meshfile.replace("_culled.ply", "_pc_unseen.npy")
+    pc_unseen = (np.load(unseen_file)
+                 if unseen_file != gt_meshfile and os.path.exists(unseen_file)
+                 else None)
+
+    if align:
+        T = icp_align(rec_v, gt_v)
+        rec_v = rec_v @ T[:3, :3].T + T[:3, 3]
+
+    # interior sampling volume: shrunk gt bbox, raised a bit
+    # (get_cam_position, eval_recon.py:140-148, with an axis-aligned bbox)
+    lo, hi = gt_v.min(0), gt_v.max(0)
+    center = (lo + hi) / 2
+    ext = (hi - lo) * np.array([0.3, 0.7, 0.7]) / 2
+    center[2] += 0.4
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    errors = []
+    attempts = 0
+    for _ in range(n_imgs):
+        while True:
+            attempts += 1
+            if attempts > n_imgs * 50:
+                break
+            origin = center + nprng.uniform(-1, 1, 3) * ext
+            target = nprng.uniform(-10000, 10000, 3)
+            c2w = _viewmatrix(target - origin, np.array([0.0, 0.0, -1.0]),
+                              origin)
+            if pc_unseen is not None and _sees(pc_unseen, c2w, fx, fy, cx,
+                                               cy, W, H):
+                continue
+            break
+        w2c = np.linalg.inv(c2w)
+        gt_depth = rasterize_depth(gt_v, gt_f, w2c, fx, fy, cx, cy, W, H)
+        rec_depth = rasterize_depth(rec_v, rec_f, w2c, fx, fy, cx, cy, W, H)
+        errors.append(np.abs(gt_depth - rec_depth).mean())
+
+    depth_l1 = float(np.mean(errors) * 100)
+    print("Depth L1: ", depth_l1)
+    return {"Depth L1: ": depth_l1}
+
+
+def _sees(points, c2w, fx, fy, cx, cy, W, H):
+    """check_proj (eval_recon.py:78-106): do any points project into view?"""
+    from unislam_tpu.native.lib import frustum_visibility
+    c2w = c2w.copy()
+    # the reference flips y/z before the test (check_proj expects the
+    # dataset pose convention)
+    c2w[:3, 1] *= -1
+    c2w[:3, 2] *= -1
+    w2c = np.linalg.inv(c2w)
+    return frustum_visibility(points, w2c, fx, fy, cx, cy, W, H).any()
+
+
+# ---------------------------------------------------------------------------
+# rendering metrics
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel(size=11, sigma=1.5):
+    x = np.arange(size) - size // 2
+    g = np.exp(-x ** 2 / (2 * sigma ** 2))
+    g /= g.sum()
+    return np.outer(g, g)
+
+
+def _ssim_pair(a, b, data_range=1.0):
+    """Per-channel SSIM mean + contrast-structure term (for MS-SSIM)."""
+    from scipy.signal import fftconvolve
+    k = _gaussian_kernel()
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+
+    def filt(x):
+        return np.stack([fftconvolve(x[..., c], k, mode="valid")
+                         for c in range(x.shape[-1])], axis=-1)
+
+    mu_a, mu_b = filt(a), filt(b)
+    mu_a2, mu_b2, mu_ab = mu_a ** 2, mu_b ** 2, mu_a * mu_b
+    s_a = filt(a * a) - mu_a2
+    s_b = filt(b * b) - mu_b2
+    s_ab = filt(a * b) - mu_ab
+    cs = (2 * s_ab + C2) / (s_a + s_b + C2)
+    ssim = ((2 * mu_ab + C1) / (mu_a2 + mu_b2 + C1)) * cs
+    return float(ssim.mean()), float(cs.mean())
+
+
+def ms_ssim(img_a: np.ndarray, img_b: np.ndarray,
+            data_range: float = 1.0) -> float:
+    """Multi-scale SSIM (Wang et al. 2003), standard 5-level weights —
+    replacement for pytorch_msssim.ms_ssim."""
+    import math
+
+    weights = [0.0448, 0.2856, 0.3001, 0.2363, 0.1333]
+    a = img_a.astype(np.float64)
+    b = img_b.astype(np.float64)
+    # adapt level count to image size (each level needs >= 11 px after
+    # downsampling), renormalizing weights — full 5 levels for real frames,
+    # graceful degradation for tiny test images
+    max_levels = max(1, min(5, int(math.log2(min(a.shape[:2]) / 11)) + 1))
+    weights = list(np.asarray(weights[:max_levels])
+                   / np.sum(weights[:max_levels]))
+
+    def down(x):
+        h, w = x.shape[0] // 2 * 2, x.shape[1] // 2 * 2
+        x = x[:h, :w]
+        return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2]
+                       + x[1::2, 1::2])
+
+    vals = []
+    for li in range(max_levels):
+        ssim, cs = _ssim_pair(a, b, data_range)
+        vals.append(ssim if li == max_levels - 1 else cs)
+        if li < max_levels - 1:
+            a, b = down(a), down(b)
+    vals = np.clip(vals, 0, None)
+    return float(np.prod([v ** w for v, w in zip(vals, weights)]))
+
+
+def try_lpips():
+    """LPIPS requires pretrained AlexNet weights; zero-egress environments
+    without a local cache get None (documented gap vs the reference)."""
+    try:
+        import lpips  # type: ignore
+        return lpips.LPIPS(net="alex")
+    except Exception:
+        return None
+
+
+def eval_rendering(slam, output: str, every: int = 5,
+                   save_images: bool = True):
+    """Render every `every`-th frame at the estimated poses and compute
+    PSNR / MS-SSIM / (LPIPS) / depth-L1 (eval_recon.py:235-307)."""
+    import jax
+
+    from unislam_tpu.render import renderer as renderer_lib
+
+    os.makedirs(f"{output}/rendered_image", exist_ok=True)
+    os.makedirs(f"{output}/rendered_uncertainty", exist_ok=True)
+
+    lpips_model = try_lpips()
+    psnr_sum = ssim_sum = lpips_sum = depth_l1 = 0.0
+    frame_cnt = 0
+    render_fn = renderer_lib.make_render_fn(
+        slam.sc, slam.rc._replace(perturb=False))
+
+    key = jax.random.PRNGKey(123)
+    for idx in range(0, slam.n_img, every):
+        color, depth, _ = slam.dataset[idx]
+        est_c2w = slam.est_c2w[idx]
+        key, sub = jax.random.split(key)
+        r_depth, r_color, term, unc, depth_std = renderer_lib.render_img(
+            slam.params, slam.sc, slam.rc._replace(perturb=False), slam.intr,
+            est_c2w, sub, gt_depth=depth, render_fn=render_fn)
+        r_depth = np.asarray(r_depth)
+        r_color = np.asarray(r_color)
+
+        if save_images:
+            import cv2
+            cv2.imwrite(f"{output}/rendered_image/frame_{idx:05d}.png",
+                        cv2.cvtColor((r_color * 255).astype(np.uint8),
+                                     cv2.COLOR_RGB2BGR))
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            unc_img = np.clip(np.asarray(depth_std), 0, 1.0)
+            colored = (plt.get_cmap("jet")(unc_img)[..., :3] * 255
+                       ).astype(np.uint8)
+            cv2.imwrite(
+                f"{output}/rendered_uncertainty/frame_{idx:05d}.png",
+                cv2.cvtColor(colored, cv2.COLOR_RGB2BGR))
+
+        valid = depth > 0
+        mse = float(np.mean((color[valid] - r_color[valid]) ** 2))
+        psnr_sum += -10.0 * np.log10(mse)
+        ssim_sum += ms_ssim(color, r_color)
+        if lpips_model is not None:
+            import torch
+            with torch.no_grad():
+                lpips_sum += float(lpips_model(
+                    torch.from_numpy(color).permute(2, 0, 1)[None].float()
+                    * 2 - 1,
+                    torch.from_numpy(r_color).permute(2, 0, 1)[None].float()
+                    * 2 - 1))
+        depth_l1 += float(np.abs(depth[valid] - r_depth[valid]).mean())
+        frame_cnt += 1
+
+    results = {
+        "avg_ms_ssim": round(ssim_sum / frame_cnt, 4),
+        "avg_psnr": round(psnr_sum / frame_cnt, 4),
+        "avg_lpips": (round(lpips_sum / frame_cnt, 4)
+                      if lpips_model is not None else None),
+        "depth_l1_render": round(depth_l1 / frame_cnt, 4),
+    }
+    print(results)
+    with open(os.path.join(output, "output.txt"), "a") as f:
+        f.write(json.dumps(results) + "\n\n")
+    return results
+
+
+def main():
+    import argparse
+    parser = argparse.ArgumentParser(
+        description="Evaluate a reconstruction against a ground-truth mesh.")
+    parser.add_argument("--rec_mesh", type=str, required=True)
+    parser.add_argument("--gt_mesh", type=str, required=True)
+    parser.add_argument("-2d", "--metric_2d", action="store_true")
+    parser.add_argument("-3d", "--metric_3d", action="store_true")
+    parser.add_argument("--n_imgs", type=int, default=100)
+    args = parser.parse_args()
+    if args.metric_3d:
+        calc_3d_metric(args.rec_mesh, args.gt_mesh)
+    if args.metric_2d:
+        calc_2d_metric(args.rec_mesh, args.gt_mesh, n_imgs=args.n_imgs)
+
+
+if __name__ == "__main__":
+    main()
