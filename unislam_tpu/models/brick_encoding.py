@@ -2,7 +2,7 @@
 
 Why this exists (measured on TPU v5e, see BENCHLOG.md): XLA's gather/scatter
 costs ~10-45 ns *per row* regardless of row width, so tcnn-style hash grids
-(8 corner rows x 16 levels = 128 rows/point, /root/reference的
+(8 corner rows x 16 levels = 128 rows/point, reference
 src/UNISLAM.py:224-259) are ~100x off speed-of-light on TPU. This encoding
 restructures the memory layout so a point's whole trilinear neighborhood at
 a level is ONE contiguous row:
@@ -148,12 +148,15 @@ def encode(table: jnp.ndarray, points: jnp.ndarray,
 
     rows = table[idx]                                           # (L,N,27F)
     rows = rows.astype(jnp.float32).reshape(
-        spec.n_levels, N, _BRICK_VERTS, _BRICK_VERTS, _BRICK_VERTS,
-        spec.n_features)
+        spec.n_levels, N, _BRICK_VERTS ** 3, spec.n_features)
 
     wx = _axis_onehot(local[..., 0], frac[..., 0])              # (L,N,3)
     wy = _axis_onehot(local[..., 1], frac[..., 1])
     wz = _axis_onehot(local[..., 2], frac[..., 2])
-    # trilinear: contract the three vertex axes (pure elementwise+reduce)
-    out = jnp.einsum("lnxyzf,lnx,lny,lnz->lnf", rows, wx, wy, wz)
+    # Build the 27 combined trilinear weights FIRST (cheap, (L,N,27)), then
+    # contract the vertex axis once — the gathered rows are read a single
+    # time instead of through (L,N,27,F)-sized multi-operand temporaries.
+    w = (wx[:, :, :, None, None] * wy[:, :, None, :, None]
+         * wz[:, :, None, None, :]).reshape(spec.n_levels, N, -1)
+    out = jnp.einsum("lnv,lnvf->lnf", w, rows)
     return jnp.moveaxis(out, 0, 1).reshape(N, spec.out_dim)
