@@ -86,6 +86,72 @@ def test_gradients_flow_to_table_and_points():
     assert np.isfinite(np.asarray(g_p)).all()
 
 
+def test_matmul_levels_ladder_snap():
+    """With a matmul budget, level 1 snaps to the largest res whose dense
+    brick count fits, and the tail re-spreads geometrically."""
+    spec = be.make_spec(n_levels=4, n_features=8, log2_hashmap_size=16,
+                        desired_resolution=816, matmul_max_rows=4096)
+    assert spec.resolutions[0] == 16 and spec.resolutions[-1] == 816
+    assert spec.resolutions[1] == 32            # 16^3 = 4096 bricks
+    assert spec.matmul[0] and spec.matmul[1]
+    assert not spec.matmul[2] and not spec.matmul[3]
+    assert spec.level_rows[1] == 4096
+
+
+def test_matmul_matches_gather():
+    """The one-hot MXU lookup must agree with the gather path up to bf16
+    rounding of the table rows."""
+    spec_mm = be.make_spec(n_levels=3, n_features=2, log2_hashmap_size=12,
+                           base_resolution=8, desired_resolution=64,
+                           matmul_max_rows=512)
+    assert spec_mm.matmul.any() and not spec_mm.matmul.all()
+    spec_g = spec_mm._replace(matmul=np.zeros(spec_mm.n_levels, bool))
+    table = jax.random.normal(jax.random.PRNGKey(3),
+                              (spec_mm.total_rows, spec_mm.row_dim))
+    pts = jax.random.uniform(jax.random.PRNGKey(4), (128, 3))
+    out_mm = np.asarray(be.encode(table, pts, spec_mm))
+    out_g = np.asarray(be.encode(table, pts, spec_g))
+    np.testing.assert_allclose(out_mm, out_g, atol=2e-2, rtol=2e-2)
+
+    # gradients flow through the matmul path to table and points
+    g_t = jax.grad(lambda t: jnp.sum(be.encode(t, pts, spec_mm) ** 2))(table)
+    assert np.isfinite(np.asarray(g_t)).all()
+    mm_lo = int(spec_mm.row_offsets[0])
+    mm_hi = int(spec_mm.row_offsets[1])
+    assert (np.abs(np.asarray(g_t[mm_lo:mm_hi])) > 0).any()
+    g_p = jax.grad(lambda p: jnp.sum(be.encode(table, p, spec_mm) ** 2))(pts)
+    assert np.isfinite(np.asarray(g_p)).all() and \
+        (np.abs(np.asarray(g_p)) > 0).any()
+
+
+def test_custom_vjp_matches_autodiff():
+    """encode's hand-written backward must equal plain autodiff of the same
+    forward (checked for both the gather-only and mixed matmul specs)."""
+    for mm in (0, 512):
+        spec = be.make_spec(n_levels=3, n_features=2, log2_hashmap_size=10,
+                            base_resolution=8, desired_resolution=64,
+                            matmul_max_rows=mm)
+        table = jax.random.normal(jax.random.PRNGKey(5),
+                                  (spec.total_rows, spec.row_dim))
+        pts = jax.random.uniform(jax.random.PRNGKey(6), (64, 3),
+                                 minval=0.02, maxval=0.98)
+        cot = jax.random.normal(jax.random.PRNGKey(7), (64, spec.out_dim))
+
+        def loss_custom(t, p):
+            return jnp.sum(be.encode(t, p, spec) * cot)
+
+        def loss_auto(t, p):
+            return jnp.sum(be._encode_fwd(t, p, spec)[0] * cot)
+
+        gt_c, gp_c = jax.grad(loss_custom, argnums=(0, 1))(table, pts)
+        gt_a, gp_a = jax.grad(loss_auto, argnums=(0, 1))(table, pts)
+        tol = 1e-4 if mm == 0 else 3e-2
+        np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_a),
+                                   atol=tol, rtol=tol)
+        np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a),
+                                   atol=tol * 30, rtol=tol)
+
+
 def test_scene_integration_brick_mode():
     from unislam_tpu.models import scene as scene_lib
     cfg = {

@@ -108,20 +108,10 @@ def make_optimizer(mc: MapperConfig, lr_factor: float):
         label_fn)
 
 
-def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
-                      intr: Intrinsics, max_kf: int, bank_size: int,
-                      mesh=None):
-    """Build the jitted mapping step.
-
-    step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
-         sel_probs, extra_probs, pose_grad_mask, key)
-      -> (opt_tree', opt_state', loss)
-
-    opt_tree = {"scene": scene params, "poses": (max_kf+1, 7)} where slot
-    max_kf is the current frame's pose. sel_probs/extra_probs: (max_kf+1,)
-    frame-slot sampling distributions. pose_grad_mask: (max_kf+1, 1) with 1
-    where BA may move the pose.
-    """
+def make_loss_fn(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
+                 intr: Intrinsics, max_kf: int, bank_size: int, mesh=None):
+    """The mapping loss over a freshly drawn keyframe-window ray batch.
+    Factored out of make_mapping_step so profiling/tests can time it alone."""
     bound = jnp.asarray(sc.bound)
     w_sdf = losses_lib.SdfLossWeights(mc.w_sdf_fs, mc.w_sdf_center,
                                       mc.w_sdf_tail)
@@ -187,6 +177,25 @@ def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
         loss = loss + mc.w_depth * losses_lib.depth_loss(gt_depth, out.depth,
                                                          m_dep)
         return loss
+
+    return loss_fn
+
+
+def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
+                      intr: Intrinsics, max_kf: int, bank_size: int,
+                      mesh=None):
+    """Build the jitted mapping step.
+
+    step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
+         sel_probs, extra_probs, pose_grad_mask, key)
+      -> (opt_tree', opt_state', loss)
+
+    opt_tree = {"scene": scene params, "poses": (max_kf+1, 7)} where slot
+    max_kf is the current frame's pose. sel_probs/extra_probs: (max_kf+1,)
+    frame-slot sampling distributions. pose_grad_mask: (max_kf+1, 1) with 1
+    where BA may move the pose.
+    """
+    loss_fn = make_loss_fn(sc, rc, mc, intr, max_kf, bank_size, mesh)
 
     def make_step(lr_factor: float):
         opt = make_optimizer(mc, lr_factor)

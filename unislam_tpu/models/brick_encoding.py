@@ -21,12 +21,24 @@ a level is ONE contiguous row:
 - Backward to the table is a scatter of N single rows (large slices), the
   fastest scatter form XLA offers on TPU.
 
+MATMUL LEVELS (mixed mode, `matmul_max_rows > 0`): dense levels small enough
+(<= matmul_max_rows bricks) skip the gather entirely — the row lookup is a
+one-hot (N, rows) @ (rows, 27F) matmul on the MXU, whose backward (table
+gradient) is the transposed matmul, i.e. the scatter-add also runs on the
+MXU. Measured (BENCHLOG.md): fwd+bwd for a 4096-row level costs ~5 ms at
+168k points vs ~12 ms for gather+scatter. The resolution ladder re-spreads
+so level 1 fits the matmul budget (e.g. 16, 32, 161, 816 instead of
+16, 59, 219, 816). The one-hot is exact in bf16; table rows are cast to
+bf16 for these matmuls (tcnn stores whole tables in fp16 — same tolerance
+argument).
+
 One table set serves BOTH decoder heads (features split downstream), halving
 gather rows again vs the reference's separate SDF/color grids.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -48,6 +60,7 @@ class BrickSpec(NamedTuple):
     level_rows: np.ndarray    # (L,) rows in the table per level
     row_offsets: np.ndarray   # (L+1,)
     log2_hashmap_size: int
+    matmul: np.ndarray = None  # (L,) bool — one-hot MXU lookup for the level
 
     @property
     def row_dim(self) -> int:
@@ -62,35 +75,59 @@ class BrickSpec(NamedTuple):
         return self.n_levels * self.n_features
 
 
+def _geometric(lo: int, hi: int, n: int) -> list:
+    if n == 1:
+        return [int(hi)]
+    scale = (hi / lo) ** (1.0 / (n - 1))
+    return [int(round(lo * scale ** l)) for l in range(n)]
+
+
 def make_spec(n_levels: int = 4, n_features: int = 8,
               log2_hashmap_size: int = 16, base_resolution: int = 16,
-              desired_resolution: int = 816) -> BrickSpec:
+              desired_resolution: int = 816,
+              matmul_max_rows: int = 0) -> BrickSpec:
     """Geometric resolution ladder from base to desired (same spirit as the
-    reference's per_level_scale formula, UNISLAM.py:241)."""
+    reference's per_level_scale formula, UNISLAM.py:241).
+
+    With `matmul_max_rows > 0`, level 1 is snapped down so its dense brick
+    count fits the one-hot-matmul budget and the remaining levels re-spread
+    geometrically up to `desired_resolution`.
+    """
     if n_levels > 1:
-        scale = (desired_resolution / base_resolution) ** (1.0 / (n_levels - 1))
+        resolutions = _geometric(base_resolution, desired_resolution,
+                                 n_levels)
     else:
-        scale = 1.0
-    resolutions = np.int32(
-        [round(base_resolution * scale ** l) for l in range(n_levels)])
+        resolutions = [int(desired_resolution)]
+
+    if matmul_max_rows > 0 and n_levels >= 3:
+        mm_brick = int(round(matmul_max_rows ** (1.0 / 3.0)))
+        mm_res = mm_brick * _BRICK_CELLS
+        if resolutions[1] > mm_res > base_resolution:
+            tail = _geometric(mm_res, desired_resolution, n_levels - 1)
+            resolutions = [base_resolution] + tail
+
+    resolutions = np.int32(resolutions)
     brick_res = np.int32(-(-resolutions // _BRICK_CELLS))  # ceil
     max_rows = 1 << log2_hashmap_size
-    level_rows, hashed = [], []
+    level_rows, hashed, matmul = [], [], []
     for br in brick_res:
         dense = int(br) ** 3
         if dense > max_rows:
             level_rows.append(max_rows)
             hashed.append(True)
+            matmul.append(False)
         else:
             level_rows.append(dense)
             hashed.append(False)
+            matmul.append(dense <= matmul_max_rows)
     level_rows = np.int64(level_rows)
     return BrickSpec(
         n_levels=n_levels, n_features=n_features,
         resolutions=resolutions, brick_res=brick_res,
         hashed=np.bool_(hashed), level_rows=level_rows,
         row_offsets=np.concatenate([[0], np.cumsum(level_rows)]).astype(np.int64),
-        log2_hashmap_size=log2_hashmap_size)
+        log2_hashmap_size=log2_hashmap_size,
+        matmul=np.bool_(matmul))
 
 
 def init_table(key: jax.Array, spec: BrickSpec,
@@ -114,15 +151,11 @@ def _axis_onehot(local: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
     return (lo * (1.0 - frac[..., None]) + hi * frac[..., None])
 
 
-def encode(table: jnp.ndarray, points: jnp.ndarray,
-           spec: BrickSpec) -> jnp.ndarray:
-    """points (N, 3) in [0, 1] -> features (N, L*F). One row gather per
-    point per level; everything else is dense VPU math."""
-    N = points.shape[0]
-    p = jnp.clip(points, 0.0, 1.0)
-
+def _level_indices(points: jnp.ndarray, spec: BrickSpec):
+    """Shared index math: per-level brick row index (without table offset),
+    in-brick cell `local` and fractional position `frac`."""
     res = jnp.asarray(spec.resolutions, jnp.float32)[:, None, None]  # (L,1,1)
-    pos = p[None] * (res - 1.0)                                 # (L,N,3)
+    pos = points[None] * (res - 1.0)                            # (L,N,3)
     cell = jnp.floor(pos).astype(jnp.int32)
     cell = jnp.minimum(cell, (res - 2).astype(jnp.int32))
     cell = jnp.maximum(cell, 0)
@@ -131,7 +164,6 @@ def encode(table: jnp.ndarray, points: jnp.ndarray,
     brick = cell // _BRICK_CELLS                                # (L,N,3)
     local = cell - brick * _BRICK_CELLS                         # in {0,1}
 
-    # brick row index: dense or hashed
     br = jnp.asarray(spec.brick_res.astype(np.int32))[:, None]  # (L,1)
     ub = brick.astype(jnp.uint32)
     h = (ub[..., 0] * np.uint32(_PRIMES[0])) ^ \
@@ -144,19 +176,157 @@ def encode(table: jnp.ndarray, points: jnp.ndarray,
     hashed = jnp.asarray(spec.hashed)[:, None]
     idx = jnp.where(hashed, hash_idx, jnp.minimum(dense_idx,
                                                   rows_per_level - 1))
-    idx = idx + jnp.asarray(spec.row_offsets.astype(np.int32))[:-1, None]
+    return idx, local, frac
 
-    rows = table[idx]                                           # (L,N,27F)
-    rows = rows.astype(jnp.float32).reshape(
-        spec.n_levels, N, _BRICK_VERTS ** 3, spec.n_features)
 
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                 spec: BrickSpec) -> jnp.ndarray:
+    """Fetch each level's (N, 27F) feature rows: XLA gather for large/hashed
+    levels, one-hot MXU matmul for small dense levels. Returns (L, N, 27F)
+    float32."""
+    matmul_flags = (spec.matmul if spec.matmul is not None
+                    else np.zeros(spec.n_levels, bool))
+    offsets = spec.row_offsets.astype(np.int64)
+
+    level_rows_out = [None] * spec.n_levels
+    gather_levels = [l for l in range(spec.n_levels) if not matmul_flags[l]]
+    if gather_levels:
+        gl = np.asarray(gather_levels)
+        g_idx = idx[gl, :] + jnp.asarray(offsets[gl].astype(np.int32))[:, None]
+        rows_g = table[g_idx].astype(jnp.float32)      # (Lg, N, 27F)
+        for k, l in enumerate(gather_levels):
+            level_rows_out[l] = rows_g[k]
+    for l in range(spec.n_levels):
+        if not matmul_flags[l]:
+            continue
+        rows_l = int(spec.level_rows[l])
+        tbl = jax.lax.slice_in_dim(table, int(offsets[l]),
+                                   int(offsets[l]) + rows_l, axis=0)
+        onehot = (idx[l][:, None]
+                  == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        level_rows_out[l] = jnp.dot(onehot, tbl.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+    return jnp.stack(level_rows_out, axis=0)
+
+
+def _scatter_rows_grad(g_rows: jnp.ndarray, idx: jnp.ndarray,
+                       spec: BrickSpec, table_shape,
+                       table_dtype) -> jnp.ndarray:
+    """Backward of _gather_rows: accumulate per-point row cotangents into a
+    zero table. Scatter-add for gather levels; transposed one-hot matmul
+    (MXU scatter-reduce) for matmul levels."""
+    matmul_flags = (spec.matmul if spec.matmul is not None
+                    else np.zeros(spec.n_levels, bool))
+    offsets = spec.row_offsets.astype(np.int64)
+    g_table = jnp.zeros(table_shape, dtype=jnp.float32)
+
+    gather_levels = [l for l in range(spec.n_levels) if not matmul_flags[l]]
+    if gather_levels:
+        gl = np.asarray(gather_levels)
+        g_idx = idx[gl, :] + jnp.asarray(offsets[gl].astype(np.int32))[:, None]
+        g_table = g_table.at[g_idx.reshape(-1)].add(
+            g_rows[gl].reshape(-1, g_rows.shape[-1]))
+    for l in range(spec.n_levels):
+        if not matmul_flags[l]:
+            continue
+        rows_l = int(spec.level_rows[l])
+        onehot = (idx[l][:, None]
+                  == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        g_tbl = jnp.dot(onehot.T, g_rows[l].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        g_table = jax.lax.dynamic_update_slice_in_dim(
+            g_table,
+            jax.lax.slice_in_dim(g_table, int(offsets[l]),
+                                 int(offsets[l]) + rows_l, axis=0) + g_tbl,
+            int(offsets[l]), axis=0)
+    return g_table.astype(table_dtype)
+
+
+def _axis_onehot_grad(local: jnp.ndarray) -> jnp.ndarray:
+    """d(axis weights)/d(frac): -1 at plane `local`, +1 at `local+1`."""
+    planes = jnp.arange(_BRICK_VERTS, dtype=jnp.int32)
+    lo = (planes[None, None, :] == local[..., None]).astype(jnp.float32)
+    hi = (planes[None, None, :] == (local + 1)[..., None]).astype(jnp.float32)
+    return hi - lo
+
+
+def _interp_weights(local: jnp.ndarray, frac: jnp.ndarray):
     wx = _axis_onehot(local[..., 0], frac[..., 0])              # (L,N,3)
     wy = _axis_onehot(local[..., 1], frac[..., 1])
     wz = _axis_onehot(local[..., 2], frac[..., 2])
-    # Build the 27 combined trilinear weights FIRST (cheap, (L,N,27)), then
-    # contract the vertex axis once — the gathered rows are read a single
-    # time instead of through (L,N,27,F)-sized multi-operand temporaries.
+    # Build the 27 combined trilinear weights (cheap, (L,N,27)) so the rows
+    # are contracted once, not through (L,N,27,F)-sized temporaries.
     w = (wx[:, :, :, None, None] * wy[:, :, None, :, None]
-         * wz[:, :, None, None, :]).reshape(spec.n_levels, N, -1)
-    out = jnp.einsum("lnv,lnvf->lnf", w, rows)
-    return jnp.moveaxis(out, 0, 1).reshape(N, spec.out_dim)
+         * wz[:, :, None, None, :]).reshape(local.shape[0], local.shape[1],
+                                            -1)
+    return w, (wx, wy, wz)
+
+
+def _encode_fwd(table, points, spec):
+    N = points.shape[0]
+    p = jnp.clip(points, 0.0, 1.0)
+    idx, local, frac = _level_indices(p, spec)
+    rows = _gather_rows(table, idx, spec)              # (L,N,27F)
+    rows4 = rows.reshape(spec.n_levels, N, _BRICK_VERTS ** 3, spec.n_features)
+    w, _ = _interp_weights(local, frac)
+    out = jnp.einsum("lnv,lnvf->lnf", w, rows4)
+    out = jnp.moveaxis(out, 0, 1).reshape(N, spec.out_dim)
+    return out, (table, points, idx, local, frac, rows)
+
+
+def _encode_bwd(spec, res, g_out):
+    table, points, idx, local, frac, rows = res
+    L, F = spec.n_levels, spec.n_features
+    N = points.shape[0]
+    V = _BRICK_VERTS ** 3
+    g = jnp.moveaxis(g_out.reshape(N, L, F), 1, 0)     # (L,N,F)
+    rows4 = rows.reshape(L, N, V, F)
+    w, (wx, wy, wz) = _interp_weights(local, frac)
+
+    # table cotangent: g_rows[l,n,v,f] = w[l,n,v] * g[l,n,f]
+    g_rows = (w[..., None] * g[:, :, None, :]).reshape(L, N, V * F)
+    g_table = _scatter_rows_grad(g_rows, idx, spec, table.shape, table.dtype)
+
+    # points cotangent: through the trilinear weights only.
+    g_w = jnp.einsum("lnvf,lnf->lnv", rows4, g)        # (L,N,27)
+    g_w3 = g_w.reshape(L, N, _BRICK_VERTS, _BRICK_VERTS, _BRICK_VERTS)
+    dwx = _axis_onehot_grad(local[..., 0])
+    dwy = _axis_onehot_grad(local[..., 1])
+    dwz = _axis_onehot_grad(local[..., 2])
+    gfx = jnp.einsum("lnijk,lni,lnj,lnk->ln", g_w3, dwx, wy, wz)
+    gfy = jnp.einsum("lnijk,lni,lnj,lnk->ln", g_w3, wx, dwy, wz)
+    gfz = jnp.einsum("lnijk,lni,lnj,lnk->ln", g_w3, wx, wy, dwz)
+    g_frac = jnp.stack([gfx, gfy, gfz], axis=-1)       # (L,N,3)
+
+    # frac = p*(res-1) - cell (cell piecewise-constant); clip gates the edge
+    res_scale = jnp.asarray(spec.resolutions, jnp.float32)[:, None, None] - 1.0
+    g_p = jnp.sum(g_frac * res_scale, axis=0)          # (N,3)
+    inside = (points >= 0.0) & (points <= 1.0)
+    g_p = jnp.where(inside, g_p, 0.0).astype(points.dtype)
+    return g_table, g_p
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def encode(table: jnp.ndarray, points: jnp.ndarray,
+           spec: BrickSpec) -> jnp.ndarray:
+    """points (N, 3) in [0, 1] -> features (N, L*F). One row gather per
+    point per level (or a one-hot MXU matmul for small dense levels);
+    everything else is dense VPU math.
+
+    Custom VJP: under plain autodiff XLA rematerializes the big gather and
+    its (L,N,27,F) intermediates for the points-gradient path (measured at
+    ~2x the whole mapping step, BENCHLOG.md); here the gathered rows are
+    saved once and the backward reads them a single time for both
+    cotangents.
+    """
+    out, _ = _encode_fwd(table, points, spec)
+    return out
+
+
+def _encode_fwd_rule(table, points, spec):
+    return _encode_fwd(table, points, spec)
+
+
+encode.defvjp(_encode_fwd_rule, _encode_bwd)
