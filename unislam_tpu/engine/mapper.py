@@ -148,9 +148,16 @@ def make_loss_fn(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
                             bank.rays_d[kf_slot, pix_b])
 
         c2w = pose_lib.cam_pose_to_matrix(poses)           # (max_kf+1, 4, 4)
-        rot = c2w[slot, :3, :3]
+        # Per-ray pose selection as a one-hot matmul, NOT c2w[slot]: the
+        # gather's VJP is a scatter-add of R ray-gradients colliding into
+        # ~max_kf slots, which XLA serializes (measured 48 ms/iter on TPU,
+        # BENCHLOG.md); the matmul's VJP is a segment-sum on the MXU.
+        onehot = (slot[:, None] == jnp.arange(max_kf + 1, dtype=slot.dtype)
+                  ).astype(jnp.float32)                    # (R, max_kf+1)
+        c2w_rays = (onehot @ c2w.reshape(max_kf + 1, 16)).reshape(-1, 4, 4)
+        rot = c2w_rays[:, :3, :3]
         rays_d = jnp.einsum("nij,nj->ni", rot, dir_cam)
-        rays_o = c2w[slot, :3, 3]
+        rays_o = c2w_rays[:, :3, 3]
 
         far = rays_lib.ray_aabb_far(jax.lax.stop_gradient(rays_o),
                                     jax.lax.stop_gradient(rays_d), bound)
