@@ -141,7 +141,7 @@ def test_custom_vjp_matches_autodiff():
             return jnp.sum(be.encode(t, p, spec) * cot)
 
         def loss_auto(t, p):
-            return jnp.sum(be._encode_fwd(t, p, spec)[0] * cot)
+            return jnp.sum(be._encode_fwd(t, p, spec, be.all_levels(spec))[0] * cot)
 
         gt_c, gp_c = jax.grad(loss_custom, argnums=(0, 1))(table, pts)
         gt_a, gp_a = jax.grad(loss_auto, argnums=(0, 1))(table, pts)

@@ -1,0 +1,130 @@
+"""Surface-LOD query tests: level-subset encode, query_lod equivalences,
+and the renderer's n_fine path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unislam_tpu.models import brick_encoding as be
+from unislam_tpu.models import decoders, scene as scene_lib
+from unislam_tpu.render import renderer
+
+
+def _scene(n_fine_levels_hashed=True):
+    spec = be.make_spec(n_levels=3, n_features=4, log2_hashmap_size=6,
+                        base_resolution=4, desired_resolution=64,
+                        matmul_max_rows=64)
+    bound = np.asarray([[-1.0, 1.0]] * 3, np.float32)
+    sc = scene_lib.SceneConfig(
+        sdf_spec=None, color_spec=None, bound=bound, truncation=0.1,
+        c_dim=spec.out_dim, encoding="brick", brick_spec=spec)
+    params = {
+        "table": be.init_table(jax.random.PRNGKey(0), spec) * 1e3,
+        "sdf_mlp": decoders.init_mlp(jax.random.PRNGKey(1), spec.out_dim,
+                                     16, 1, 2),
+        "color_mlp": decoders.init_mlp(jax.random.PRNGKey(2), spec.out_dim,
+                                       16, 3, 2),
+        "beta": jnp.full((1,), 10.0),
+    }
+    return sc, params
+
+
+def test_level_subset_matches_full():
+    sc, params = _scene()
+    spec = sc.brick_spec
+    pts = jax.random.uniform(jax.random.PRNGKey(3), (50, 3))
+    full = be.encode(params["table"], pts, spec)
+    F = spec.n_features
+    for levels in [(0,), (1, 2), (0, 2)]:
+        sub = be.encode(params["table"], pts, spec, levels)
+        want = np.concatenate(
+            [np.asarray(full[:, l * F:(l + 1) * F]) for l in levels], axis=1)
+        np.testing.assert_allclose(np.asarray(sub), want, rtol=1e-6)
+
+
+def test_level_subset_grads_match_full():
+    sc, params = _scene()
+    spec = sc.brick_spec
+    pts = jax.random.uniform(jax.random.PRNGKey(4), (30, 3))
+    F = spec.n_features
+    levels = (1, 2)
+
+    def loss_sub(t, p):
+        return jnp.sum(jnp.sin(be.encode(t, p, spec, levels)))
+
+    def loss_full(t, p):
+        out = be.encode(t, p, spec)
+        sub = jnp.concatenate([out[:, l * F:(l + 1) * F] for l in levels],
+                              axis=1)
+        return jnp.sum(jnp.sin(sub))
+
+    g1 = jax.grad(loss_sub, argnums=(0, 1))(params["table"], pts)
+    g2 = jax.grad(loss_full, argnums=(0, 1))(params["table"], pts)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_query_lod_full_selection_matches_query():
+    """With K = S (every sample selected) LOD must equal the plain query."""
+    sc, params = _scene()
+    R, S = 7, 6
+    p_nor = jax.random.uniform(jax.random.PRNGKey(5), (R, S, 3))
+    # identity selection: K = S, onehot = I
+    sel = jnp.tile(jnp.eye(S)[None], (R, 1, 1))
+    out_lod = scene_lib.query_lod(params, sc, p_nor, sel)
+    out_ref = scene_lib.query(params, sc, p_nor.reshape(-1, 3)).reshape(
+        R, S, 4)
+    np.testing.assert_allclose(np.asarray(out_lod), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_query_lod_unselected_get_coarse_only():
+    sc, params = _scene()
+    spec = sc.brick_spec
+    coarse, fine = be.coarse_fine_split(spec)
+    assert fine, "test spec must have a hashed level"
+    R, S, K = 3, 5, 2
+    p_nor = jax.random.uniform(jax.random.PRNGKey(6), (R, S, 3))
+    sel_idx = jnp.zeros((R, K), jnp.int32).at[:, 1].set(1)  # samples 0,1
+    sel = (sel_idx[..., None] == jnp.arange(S)[None, None, :])
+    out = scene_lib.query_lod(params, sc, p_nor, sel)
+
+    # unselected sample -> features = coarse only -> equals a query where
+    # fine levels are zero-filled
+    feat_c = be.encode(params["table"], p_nor[0, 3][None], spec, coarse)
+    feat = scene_lib._zero_fill_levels(feat_c, spec, coarse)
+    sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[0, 0]
+    np.testing.assert_allclose(float(out[0, 3, 3]), float(sdf), rtol=1e-5)
+
+    # selected sample -> equals the full query
+    full = scene_lib.query(params, sc, p_nor[0, 1][None])[0]
+    np.testing.assert_allclose(np.asarray(out[0, 1]), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("with_depth", [True, False])
+def test_render_lod_runs_and_finite(with_depth):
+    sc, params = _scene()
+    rc = renderer.RenderConfig(n_stratified=8, n_importance=4, perturb=True,
+                               n_fine=5)
+    R = 16
+    key = jax.random.PRNGKey(7)
+    d = jax.random.normal(key, (R, 3))
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.zeros((R, 3))
+    gt_depth = jnp.full((R,), 0.8) if with_depth else jnp.zeros((R,))
+    out = renderer.render_rays(params, sc, rc, rays_o, rays_d, gt_depth, key)
+    for leaf in out:
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # gradients flow to the table through the LOD path
+    def loss(p):
+        o = renderer.render_rays(p, sc, rc, rays_o, rays_d, gt_depth, key)
+        return jnp.sum(o.rgb) + jnp.sum(o.depth)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(g["table"])).all()
+    assert float(jnp.abs(jnp.asarray(g["table"])).sum()) > 0

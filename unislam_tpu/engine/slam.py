@@ -73,7 +73,8 @@ class UniSLAM:
         r = cfg["rendering"]
         self.rc = RenderConfig(n_stratified=r["n_stratified"],
                                n_importance=r["n_importance"],
-                               perturb=bool(r.get("perturb", True)))
+                               perturb=bool(r.get("perturb", True)),
+                               n_fine=int(r.get("n_fine", 0)))
         self.tc = tracker_lib.from_cfg(cfg)
         self.mc = mapper_lib.from_cfg(cfg)
 

@@ -138,6 +138,19 @@ def init_table(key: jax.Array, spec: BrickSpec,
         minval=-1e-4, maxval=1e-4)
 
 
+def all_levels(spec: BrickSpec) -> tuple:
+    return tuple(range(spec.n_levels))
+
+
+def coarse_fine_split(spec: BrickSpec) -> tuple:
+    """(coarse, fine) level index tuples: fine = spatially-hashed levels (the
+    per-row-cost-bound ones, BENCHLOG.md), coarse = dense/matmul levels.
+    Used by the surface-LOD query path (scene.query_lod)."""
+    fine = tuple(int(l) for l in range(spec.n_levels) if spec.hashed[l])
+    coarse = tuple(int(l) for l in range(spec.n_levels) if not spec.hashed[l])
+    return coarse, fine
+
+
 def _axis_onehot(local: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
     """Per-axis interpolation weights over the 3 brick vertex planes.
 
@@ -151,10 +164,13 @@ def _axis_onehot(local: jnp.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
     return (lo * (1.0 - frac[..., None]) + hi * frac[..., None])
 
 
-def _level_indices(points: jnp.ndarray, spec: BrickSpec):
+def _level_indices(points: jnp.ndarray, spec: BrickSpec, levels: tuple):
     """Shared index math: per-level brick row index (without table offset),
-    in-brick cell `local` and fractional position `frac`."""
-    res = jnp.asarray(spec.resolutions, jnp.float32)[:, None, None]  # (L,1,1)
+    in-brick cell `local` and fractional position `frac`. Arrays are (len
+    (levels), N, ...) — a static level subset of the spec's ladder."""
+    lv = list(levels)
+    res = jnp.asarray(spec.resolutions[lv],
+                      jnp.float32)[:, None, None]                   # (L,1,1)
     pos = points[None] * (res - 1.0)                            # (L,N,3)
     cell = jnp.floor(pos).astype(jnp.int32)
     cell = jnp.minimum(cell, (res - 2).astype(jnp.int32))
@@ -164,54 +180,55 @@ def _level_indices(points: jnp.ndarray, spec: BrickSpec):
     brick = cell // _BRICK_CELLS                                # (L,N,3)
     local = cell - brick * _BRICK_CELLS                         # in {0,1}
 
-    br = jnp.asarray(spec.brick_res.astype(np.int32))[:, None]  # (L,1)
+    br = jnp.asarray(spec.brick_res[lv].astype(np.int32))[:, None]  # (L,1)
     ub = brick.astype(jnp.uint32)
     h = (ub[..., 0] * np.uint32(_PRIMES[0])) ^ \
         (ub[..., 1] * np.uint32(_PRIMES[1])) ^ \
         (ub[..., 2] * np.uint32(_PRIMES[2]))
-    rows_per_level = jnp.asarray(spec.level_rows.astype(np.int32))[:, None]
+    rows_per_level = jnp.asarray(spec.level_rows[lv].astype(np.int32))[:, None]
     hash_idx = (h % rows_per_level.astype(jnp.uint32)).astype(jnp.int32)
     dense_idx = (brick[..., 0] + brick[..., 1] * br
                  + brick[..., 2] * br * br)
-    hashed = jnp.asarray(spec.hashed)[:, None]
+    hashed = jnp.asarray(spec.hashed[lv])[:, None]
     idx = jnp.where(hashed, hash_idx, jnp.minimum(dense_idx,
                                                   rows_per_level - 1))
     return idx, local, frac
 
 
 def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
-                 spec: BrickSpec) -> jnp.ndarray:
+                 spec: BrickSpec, levels: tuple) -> jnp.ndarray:
     """Fetch each level's (N, 27F) feature rows: XLA gather for large/hashed
-    levels, one-hot MXU matmul for small dense levels. Returns (L, N, 27F)
-    float32."""
+    levels, one-hot MXU matmul for small dense levels. `idx` is
+    (len(levels), N); returns (len(levels), N, 27F) float32."""
     matmul_flags = (spec.matmul if spec.matmul is not None
                     else np.zeros(spec.n_levels, bool))
     offsets = spec.row_offsets.astype(np.int64)
 
-    level_rows_out = [None] * spec.n_levels
-    gather_levels = [l for l in range(spec.n_levels) if not matmul_flags[l]]
-    if gather_levels:
-        gl = np.asarray(gather_levels)
-        g_idx = idx[gl, :] + jnp.asarray(offsets[gl].astype(np.int32))[:, None]
+    level_rows_out = [None] * len(levels)
+    gather_pos = [k for k, l in enumerate(levels) if not matmul_flags[l]]
+    if gather_pos:
+        gl = np.asarray([levels[k] for k in gather_pos])
+        g_idx = idx[np.asarray(gather_pos), :] + \
+            jnp.asarray(offsets[gl].astype(np.int32))[:, None]
         rows_g = table[g_idx].astype(jnp.float32)      # (Lg, N, 27F)
-        for k, l in enumerate(gather_levels):
-            level_rows_out[l] = rows_g[k]
-    for l in range(spec.n_levels):
+        for j, k in enumerate(gather_pos):
+            level_rows_out[k] = rows_g[j]
+    for k, l in enumerate(levels):
         if not matmul_flags[l]:
             continue
         rows_l = int(spec.level_rows[l])
         tbl = jax.lax.slice_in_dim(table, int(offsets[l]),
                                    int(offsets[l]) + rows_l, axis=0)
-        onehot = (idx[l][:, None]
+        onehot = (idx[k][:, None]
                   == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
                   ).astype(jnp.bfloat16)
-        level_rows_out[l] = jnp.dot(onehot, tbl.astype(jnp.bfloat16),
+        level_rows_out[k] = jnp.dot(onehot, tbl.astype(jnp.bfloat16),
                                     preferred_element_type=jnp.float32)
     return jnp.stack(level_rows_out, axis=0)
 
 
 def _scatter_rows_grad(g_rows: jnp.ndarray, idx: jnp.ndarray,
-                       spec: BrickSpec, table_shape,
+                       spec: BrickSpec, levels: tuple, table_shape,
                        table_dtype) -> jnp.ndarray:
     """Backward of _gather_rows: accumulate per-point row cotangents into a
     zero table. Scatter-add for gather levels; transposed one-hot matmul
@@ -221,20 +238,21 @@ def _scatter_rows_grad(g_rows: jnp.ndarray, idx: jnp.ndarray,
     offsets = spec.row_offsets.astype(np.int64)
     g_table = jnp.zeros(table_shape, dtype=jnp.float32)
 
-    gather_levels = [l for l in range(spec.n_levels) if not matmul_flags[l]]
-    if gather_levels:
-        gl = np.asarray(gather_levels)
-        g_idx = idx[gl, :] + jnp.asarray(offsets[gl].astype(np.int32))[:, None]
+    gather_pos = [k for k, l in enumerate(levels) if not matmul_flags[l]]
+    if gather_pos:
+        gl = np.asarray([levels[k] for k in gather_pos])
+        g_idx = idx[np.asarray(gather_pos), :] + \
+            jnp.asarray(offsets[gl].astype(np.int32))[:, None]
         g_table = g_table.at[g_idx.reshape(-1)].add(
-            g_rows[gl].reshape(-1, g_rows.shape[-1]))
-    for l in range(spec.n_levels):
+            g_rows[np.asarray(gather_pos)].reshape(-1, g_rows.shape[-1]))
+    for k, l in enumerate(levels):
         if not matmul_flags[l]:
             continue
         rows_l = int(spec.level_rows[l])
-        onehot = (idx[l][:, None]
+        onehot = (idx[k][:, None]
                   == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
                   ).astype(jnp.bfloat16)
-        g_tbl = jnp.dot(onehot.T, g_rows[l].astype(jnp.bfloat16),
+        g_tbl = jnp.dot(onehot.T, g_rows[k].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
         g_table = jax.lax.dynamic_update_slice_in_dim(
             g_table,
@@ -264,21 +282,22 @@ def _interp_weights(local: jnp.ndarray, frac: jnp.ndarray):
     return w, (wx, wy, wz)
 
 
-def _encode_fwd(table, points, spec):
+def _encode_fwd(table, points, spec, levels):
     N = points.shape[0]
+    L = len(levels)
     p = jnp.clip(points, 0.0, 1.0)
-    idx, local, frac = _level_indices(p, spec)
-    rows = _gather_rows(table, idx, spec)              # (L,N,27F)
-    rows4 = rows.reshape(spec.n_levels, N, _BRICK_VERTS ** 3, spec.n_features)
+    idx, local, frac = _level_indices(p, spec, levels)
+    rows = _gather_rows(table, idx, spec, levels)      # (L,N,27F)
+    rows4 = rows.reshape(L, N, _BRICK_VERTS ** 3, spec.n_features)
     w, _ = _interp_weights(local, frac)
     out = jnp.einsum("lnv,lnvf->lnf", w, rows4)
-    out = jnp.moveaxis(out, 0, 1).reshape(N, spec.out_dim)
+    out = jnp.moveaxis(out, 0, 1).reshape(N, L * spec.n_features)
     return out, (table, points, idx, local, frac, rows)
 
 
-def _encode_bwd(spec, res, g_out):
+def _encode_bwd(spec, levels, res, g_out):
     table, points, idx, local, frac, rows = res
-    L, F = spec.n_levels, spec.n_features
+    L, F = len(levels), spec.n_features
     N = points.shape[0]
     V = _BRICK_VERTS ** 3
     g = jnp.moveaxis(g_out.reshape(N, L, F), 1, 0)     # (L,N,F)
@@ -287,7 +306,8 @@ def _encode_bwd(spec, res, g_out):
 
     # table cotangent: g_rows[l,n,v,f] = w[l,n,v] * g[l,n,f]
     g_rows = (w[..., None] * g[:, :, None, :]).reshape(L, N, V * F)
-    g_table = _scatter_rows_grad(g_rows, idx, spec, table.shape, table.dtype)
+    g_table = _scatter_rows_grad(g_rows, idx, spec, levels, table.shape,
+                                 table.dtype)
 
     # points cotangent: through the trilinear weights only.
     g_w = jnp.einsum("lnvf,lnf->lnv", rows4, g)        # (L,N,27)
@@ -301,19 +321,36 @@ def _encode_bwd(spec, res, g_out):
     g_frac = jnp.stack([gfx, gfy, gfz], axis=-1)       # (L,N,3)
 
     # frac = p*(res-1) - cell (cell piecewise-constant); clip gates the edge
-    res_scale = jnp.asarray(spec.resolutions, jnp.float32)[:, None, None] - 1.0
+    res_scale = jnp.asarray(spec.resolutions[list(levels)],
+                            jnp.float32)[:, None, None] - 1.0
     g_p = jnp.sum(g_frac * res_scale, axis=0)          # (N,3)
     inside = (points >= 0.0) & (points <= 1.0)
     g_p = jnp.where(inside, g_p, 0.0).astype(points.dtype)
     return g_table, g_p
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def encode(table: jnp.ndarray, points: jnp.ndarray,
-           spec: BrickSpec) -> jnp.ndarray:
-    """points (N, 3) in [0, 1] -> features (N, L*F). One row gather per
-    point per level (or a one-hot MXU matmul for small dense levels);
-    everything else is dense VPU math.
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _encode_impl(table: jnp.ndarray, points: jnp.ndarray, spec: BrickSpec,
+                 levels: tuple) -> jnp.ndarray:
+    out, _ = _encode_fwd(table, points, spec, levels)
+    return out
+
+
+def _encode_fwd_rule(table, points, spec, levels):
+    return _encode_fwd(table, points, spec, levels)
+
+
+_encode_impl.defvjp(_encode_fwd_rule, _encode_bwd)
+
+
+def encode(table: jnp.ndarray, points: jnp.ndarray, spec: BrickSpec,
+           levels: tuple = None) -> jnp.ndarray:
+    """points (N, 3) in [0, 1] -> features (N, len(levels)*F). One row
+    gather per point per level (or a one-hot MXU matmul for small dense
+    levels); everything else is dense VPU math.
+
+    `levels` (static tuple, default all) restricts to a ladder subset —
+    the surface-LOD path queries hashed levels only near surfaces.
 
     Custom VJP: under plain autodiff XLA rematerializes the big gather and
     its (L,N,27,F) intermediates for the points-gradient path (measured at
@@ -321,12 +358,6 @@ def encode(table: jnp.ndarray, points: jnp.ndarray,
     saved once and the backward reads them a single time for both
     cotangents.
     """
-    out, _ = _encode_fwd(table, points, spec)
-    return out
-
-
-def _encode_fwd_rule(table, points, spec):
-    return _encode_fwd(table, points, spec)
-
-
-encode.defvjp(_encode_fwd_rule, _encode_bwd)
+    if levels is None:
+        levels = all_levels(spec)
+    return _encode_impl(table, points, spec, tuple(levels))

@@ -139,13 +139,37 @@ def normalize_points(sc: SceneConfig, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def raw_sdf(params: Dict[str, Any], sc: SceneConfig,
-            p_nor: jnp.ndarray) -> jnp.ndarray:
-    """SDF at normalized points (N, 3) -> (N,). Mirrors decoders.py:107-130."""
+            p_nor: jnp.ndarray, levels: tuple = None) -> jnp.ndarray:
+    """SDF at normalized points (N, 3) -> (N,). Mirrors decoders.py:107-130.
+
+    `levels` (brick mode only): restrict the encode to a ladder subset; the
+    missing levels' features are zero-filled so the MLP input width is
+    unchanged (used by the importance-sampling probe under surface-LOD).
+    """
     if sc.encoding == "brick":
-        feat = brick_encoding.encode(params["table"], p_nor, sc.brick_spec)
+        feat = brick_encoding.encode(params["table"], p_nor, sc.brick_spec,
+                                     levels)
+        if levels is not None and len(levels) < sc.brick_spec.n_levels:
+            feat = _zero_fill_levels(feat, sc.brick_spec, tuple(levels))
     else:
         feat = hash_encoding.encode(params["sdf_table"], p_nor, sc.sdf_spec)
     return decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
+
+
+def _zero_fill_levels(feat: jnp.ndarray, spec, levels: tuple) -> jnp.ndarray:
+    """Expand (N, len(levels)*F) features to the full (N, L*F) width with
+    zeros at the missing levels (level-major feature order)."""
+    N = feat.shape[0]
+    F = spec.n_features
+    f3 = feat.reshape(N, len(levels), F)
+    cols, j = [], 0
+    for l in range(spec.n_levels):
+        if l in levels:
+            cols.append(f3[:, j])
+            j += 1
+        else:
+            cols.append(jnp.zeros((N, F), feat.dtype))
+    return jnp.stack(cols, axis=1).reshape(N, spec.n_levels * F)
 
 
 def raw_rgb(params: Dict[str, Any], sc: SceneConfig,
@@ -174,6 +198,50 @@ def query(params: Dict[str, Any], sc: SceneConfig,
     sdf = raw_sdf(params, sc, p_nor)
     rgb = raw_rgb(params, sc, p_nor)
     return jnp.concatenate([rgb, sdf[..., None]], axis=-1)
+
+
+def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
+              sel_onehot: jnp.ndarray) -> jnp.ndarray:
+    """Surface-LOD joint query (brick mode): coarse (dense/matmul) levels on
+    ALL samples, hashed fine levels only on a per-ray selected subset.
+
+    p_nor: (R, S, 3) normalized points; sel_onehot: (R, K, S) one-hot rows
+    marking the K samples per ray that get fine detail. Returns (R, S, 4)
+    [r, g, b, sdf].
+
+    TPU rationale (BENCHLOG.md): hashed-level gather/scatter cost is
+    per-row-count-bound (~9/44 ns per row), so cutting fine-level queries
+    from S=40 to K~16 samples/ray removes most of it. Selection and
+    re-spreading are per-ray one-hot matmuls whose VJPs are transposed
+    matmuls — MXU work, no new gathers/scatters. Fine detail only matters
+    within the truncation band around surfaces, which is exactly what the
+    selection targets; elsewhere the SDF is driven by free-space/tail losses
+    that coarse levels represent fine.
+    """
+    assert sc.encoding == "brick"
+    spec = sc.brick_spec
+    R, S = p_nor.shape[:2]
+    K = sel_onehot.shape[1]
+    coarse, fine = brick_encoding.coarse_fine_split(spec)
+    # level-major feature order: coarse must be a ladder prefix so that
+    # concat([coarse_feat, fine_feat]) matches the full encode's layout.
+    assert not coarse or not fine or max(coarse) < min(fine)
+
+    feat_c = brick_encoding.encode(
+        params["table"], p_nor.reshape(-1, 3), spec, coarse
+    ).reshape(R, S, -1)
+
+    sel = sel_onehot.astype(p_nor.dtype)
+    fine_pts = jnp.einsum("rks,rsc->rkc", sel, p_nor)
+    feat_f_sel = brick_encoding.encode(
+        params["table"], fine_pts.reshape(-1, 3), spec, fine
+    ).reshape(R, K, -1)
+    feat_f = jnp.einsum("rks,rkf->rsf", sel, feat_f_sel)
+
+    feat = jnp.concatenate([feat_c, feat_f], axis=-1).reshape(R * S, -1)
+    sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
+    rgb = decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
+    return jnp.concatenate([rgb, sdf[..., None]], axis=-1).reshape(R, S, 4)
 
 
 def beta_value(params: Dict[str, Any], sc: SceneConfig) -> jnp.ndarray:

@@ -34,6 +34,10 @@ class RenderConfig(NamedTuple):
     n_importance: int = 8
     perturb: bool = True
     ray_batch_size: int = 10000
+    # Surface-LOD (brick encoding only): query the hashed fine levels for
+    # only the n_fine samples per ray nearest the (sensor or probe) depth;
+    # 0 disables (all levels on all samples). See scene.query_lod.
+    n_fine: int = 0
 
 
 class RenderOutput(NamedTuple):
@@ -78,6 +82,13 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
     # --- depth-less samples: uniform-to-bound + importance (lazy via cond) ---
     bound = jnp.asarray(sc.bound)
 
+    use_lod = (rc.n_fine > 0 and rc.n_fine < n_total
+               and sc.encoding == "brick")
+    probe_levels = None
+    if use_lod:
+        from unislam_tpu.models import brick_encoding
+        probe_levels, _ = brick_encoding.coarse_fine_split(sc.brick_spec)
+
     def _no_depth_branch(_):
         far = rays_lib.ray_aabb_far(
             jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d),
@@ -88,7 +99,8 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
         p_nor = scene_lib.normalize_points(sc, pts.reshape(-1, 3))
         probe_params = jax.lax.stop_gradient(params)
         sdf_uni = scene_lib.raw_sdf(probe_params, sc,
-                                    jax.lax.stop_gradient(p_nor))
+                                    jax.lax.stop_gradient(p_nor),
+                                    levels=probe_levels)
         sdf_uni = sdf_uni.reshape(z_uni.shape)
         alpha_uni = sdf2alpha(sdf_uni,
                               scene_lib.beta_value(probe_params, sc))
@@ -96,13 +108,18 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
         mids = 0.5 * (z_uni[..., 1:] + z_uni[..., :-1])
         z_samp = sampling.sample_pdf(k_pdf, mids, w_uni[..., 1:-1],
                                      rc.n_importance)
-        return jnp.sort(jnp.concatenate([z_uni, z_samp], axis=-1), axis=-1)
+        z = jnp.sort(jnp.concatenate([z_uni, z_samp], axis=-1), axis=-1)
+        # probe rendered depth: the LOD selection's surface estimate for
+        # rays with no sensor depth
+        d_probe = jnp.sum(w_uni * z_uni, axis=-1)
+        return z, d_probe
 
     def _skip_branch(_):
-        return jnp.zeros((rays_o.shape[0], n_total), dtype=rays_o.dtype)
+        return (jnp.zeros((rays_o.shape[0], n_total), dtype=rays_o.dtype),
+                jnp.zeros((rays_o.shape[0],), dtype=rays_o.dtype))
 
-    z_nodepth = jax.lax.cond(jnp.any(~has_depth), _no_depth_branch,
-                             _skip_branch, operand=None)
+    z_nodepth, d_probe = jax.lax.cond(jnp.any(~has_depth), _no_depth_branch,
+                                      _skip_branch, operand=None)
     z_nodepth = jax.lax.stop_gradient(z_nodepth)
 
     z_vals = jnp.where(has_depth[:, None], z_depth, z_nodepth)
@@ -110,8 +127,19 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
     # --- query the field ---
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     p_nor = scene_lib.normalize_points(sc, pts.reshape(-1, 3))
-    raw = scene_lib.query(params, sc, p_nor).reshape(
-        z_vals.shape[0], n_total, 4)
+    if use_lod:
+        d_ref = jnp.where(has_depth, gt_depth,
+                          jax.lax.stop_gradient(d_probe))
+        score = -jnp.abs(jax.lax.stop_gradient(z_vals) - d_ref[:, None])
+        _, sel_idx = jax.lax.top_k(score, rc.n_fine)     # (R, K)
+        sel_onehot = (sel_idx[..., None]
+                      == jnp.arange(n_total)[None, None, :])
+        raw = scene_lib.query_lod(
+            params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
+            sel_onehot)
+    else:
+        raw = scene_lib.query(params, sc, p_nor).reshape(
+            z_vals.shape[0], n_total, 4)
     sdf = raw[..., 3]
 
     # --- composite ---
