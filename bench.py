@@ -46,12 +46,13 @@ def main():
                      "ignore_edge_H": 75},
         "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
                     "every_frame": 4, "keyframe_every": 4},
-        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 16},
+        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
                  # TPU-native brick encoding: one gather row per point/level
                  "encoding": "brick", "brick_levels": 4,
-                 "brick_features": 8, "brick_hash_size": 16},
+                 "brick_features": 8, "brick_hash_size": 16,
+                 "brick_matmul_rows": 1024},
     })
     slam = UniSLAM(cfg, ds, seed=0)
 

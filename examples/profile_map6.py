@@ -51,7 +51,7 @@ def main():
                      "ignore_edge_H": 75},
         "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
                     "every_frame": 4, "keyframe_every": 4},
-        "rendering": {"n_stratified": 32, "n_importance": 8},
+        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 16},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
                  "encoding": "brick", "brick_levels": 4,

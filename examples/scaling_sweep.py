@@ -1,0 +1,120 @@
+"""Multi-device rays/s scaling sweep (BASELINE.md's 1-chip / 1-host / N-host
+measurement).
+
+Runs the REAL jitted mapping step (forward + backward + Adam, ray batch
+sharded over a 1-D 'rays' mesh, scene grads all-reduced by XLA) at 1..N
+devices and prints rays/s per mesh size.
+
+On a machine with one TPU chip this exercises the sharded compile path on a
+virtual CPU mesh (the driver's dryrun does the same); on a pod slice it
+measures true ICI scaling. Select with --platform {cpu,tpu} --devices N.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--devices", type=int, default=8,
+                    help="max mesh size (cpu: virtual devices)")
+    ap.add_argument("--rays", type=int, default=4000)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}")
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unislam_tpu.core.rays import Intrinsics, camera_ray_dirs
+    from unislam_tpu.engine import keyframes as kf_lib
+    from unislam_tpu.engine import mapper as mapper_lib
+    from unislam_tpu.models import hash_encoding as he
+    from unislam_tpu.models import scene as scene_lib
+    from unislam_tpu.parallel import sharding as sh
+    from unislam_tpu.render.renderer import RenderConfig
+
+    n_avail = len(jax.devices())
+    print(f"platform={jax.devices()[0].platform} devices={n_avail}")
+
+    intr = Intrinsics(H=120, W=160, fx=130.0, fy=130.0, cx=79.5, cy=59.5)
+    bound = np.asarray([[-3.0, 3.0]] * 3, np.float32)
+    sc = scene_lib.SceneConfig(
+        sdf_spec=he.make_spec(n_levels=8, log2_hashmap_size=14,
+                              desired_resolution=300),
+        color_spec=he.make_spec(n_levels=8, log2_hashmap_size=14,
+                                desired_resolution=300),
+        bound=bound, truncation=0.06)
+    rc = RenderConfig(n_stratified=32, n_importance=8, perturb=True)
+    max_kf, bank_size = 8, 1024
+
+    sizes = [n for n in [1, 2, 4, 8, 16, 32] if n <= min(args.devices,
+                                                         n_avail)]
+    results = []
+    for n_dev in sizes:
+        mesh = sh.make_mesh(n_dev)
+        per = max(1, args.rays // n_dev)
+        mc = mapper_lib.MapperConfig(pixels=per * n_dev, iters=1,
+                                     extra_rays=n_dev * 8)
+        make_step = mapper_lib.make_mapping_step(sc, rc, mc, intr, max_kf,
+                                                 bank_size, mesh=mesh)
+        step, opt = make_step(1.0)[:2]
+
+        params = scene_lib.init_params(jax.random.PRNGKey(0), sc)
+        shardings = sh.scene_param_shardings(mesh, params)
+        params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+        bank = kf_lib.init_bank(max_kf, bank_size)
+        add = kf_lib.make_add_keyframe(intr.H, intr.W, bank_size)
+        depth = jnp.full((intr.H, intr.W), 1.5)
+        color = jnp.full((intr.H, intr.W, 3), 0.5)
+        rays_d = camera_ray_dirs(intr)
+        eye = jnp.eye(4)
+        for i in range(3):
+            bank = add(bank, depth, color, rays_d, eye, eye, jnp.int32(i),
+                       jax.random.PRNGKey(i))
+
+        pose7 = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0]),
+                         (max_kf + 1, 1))
+        opt_tree = {"scene": params, "poses": pose7}
+        opt_state = opt.init(opt_tree)
+        probs = np.zeros(max_kf + 1, np.float32)
+        probs[[0, 1, 2, max_kf]] = 0.25
+        pg = np.zeros((max_kf + 1, 1), np.float32)
+
+        def one(opt_tree, opt_state, key):
+            return step(opt_tree, opt_state, bank, depth, color, rays_d,
+                        jnp.asarray(probs), jnp.asarray(probs),
+                        jnp.asarray(pg), key)
+
+        key = jax.random.PRNGKey(7)
+        opt_tree, opt_state, loss = one(opt_tree, opt_state, key)
+        float(loss)  # force compile + completion
+        t0 = time.time()
+        for i in range(args.iters):
+            opt_tree, opt_state, loss = one(opt_tree, opt_state,
+                                            jax.random.fold_in(key, i))
+        float(loss)
+        dt = (time.time() - t0) / args.iters
+        rays = mc.pixels + mc.extra_rays
+        rps = rays / dt
+        results.append((n_dev, rps))
+        base = results[0][1]
+        print(f"devices={n_dev:3d}  rays/step={rays:6d}  step={dt*1e3:7.2f} ms"
+              f"  rays/s={rps:12.1f}  speedup={rps/base:5.2f}x")
+
+
+if __name__ == "__main__":
+    main()

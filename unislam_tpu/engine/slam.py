@@ -124,6 +124,15 @@ class UniSLAM:
         self.on_frame_done = None
         self.on_mapping_done = None
 
+        # per-phase wall-time / rays/s counters (opt-in: adds one device
+        # sync per phase; the reference has no profiling at all, SURVEY §5)
+        prof_cfg = cfg.get("profiling", {})
+        if prof_cfg.get("enabled", False):
+            from unislam_tpu.utils.profiling import PhaseStats
+            self.stats = PhaseStats()
+        else:
+            self.stats = None
+
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -262,12 +271,26 @@ class UniSLAM:
         if idx == 0 or self.tc.gt_camera:
             self.est_c2w[idx] = gt_c2w
         else:
-            self.est_c2w[idx] = self.track_frame(idx, depth, color)
+            if self.stats is not None:
+                with self.stats.phase("tracking",
+                                      rays=self.t_iters * self.tc.pixels):
+                    # track_frame fetches unc scalars -> already synced
+                    self.est_c2w[idx] = self.track_frame(idx, depth, color)
+            else:
+                self.est_c2w[idx] = self.track_frame(idx, depth, color)
 
         mapped = False
         if idx % self.mc.every_frame == 0 or self.tracking_back or \
                 idx == self.n_img - 1:
-            self.map_frame(idx, depth, color, gt_c2w)
+            iters = self.mc.iters_first if self.init_phase else self.m_iters
+            if self.stats is not None:
+                with self.stats.phase(
+                        "mapping",
+                        rays=iters * (self.mc.pixels + self.mc.extra_rays)):
+                    # map_frame fetches the loss scalar -> already synced
+                    self.map_frame(idx, depth, color, gt_c2w)
+            else:
+                self.map_frame(idx, depth, color, gt_c2w)
             self.maybe_add_keyframe(idx, depth, color, gt_c2w)
             mapped = True
             if self.on_mapping_done is not None:

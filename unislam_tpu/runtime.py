@@ -124,6 +124,10 @@ class SLAMRuntime:
         from unislam_tpu.tools.eval_recon import eval_rendering
 
         slam = self.slam
+        if slam.stats is not None:
+            print(slam.stats.summary())
+            with open(os.path.join(self.output, "output.txt"), "a") as f:
+                f.write(json.dumps({"profile": slam.stats.report()}) + "\n")
         eval_rendering(slam, self.output)
         name = ("final_mesh_eval_rec.ply" if self.eval_rec
                 else "final_mesh.ply")
