@@ -52,7 +52,7 @@ def main():
                  # TPU-native brick encoding: one gather row per point/level
                  "encoding": "brick", "brick_levels": 4,
                  "brick_features": 8, "brick_hash_size": 16,
-                 "brick_matmul_rows": 1024},
+                 "brick_matmul_rows": 1024, "brick_matmul_hashed": 1},
     })
     slam = UniSLAM(cfg, ds, seed=0)
 

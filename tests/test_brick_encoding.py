@@ -209,3 +209,30 @@ def test_brick_slam_quality_parity():
     slam.run(progress=False)
     _, results = evaluate_ate(slam.gt_c2w[:, :3, 3], slam.est_c2w[:, :3, 3])
     assert results["error.rmse"] < 5.0, results
+
+
+def test_matmul_hashed_level_matches_gather_lookup():
+    """A hashed level served by one-hot MXU matmul must produce the same
+    features and table gradient as the gather path on the same table."""
+    # base_resolution chosen so the matmul ladder re-spread is a no-op and
+    # both specs share the same ladder + table geometry
+    kw = dict(n_levels=3, n_features=2, log2_hashmap_size=6,
+              base_resolution=8, desired_resolution=64)
+    spec_mm = be.make_spec(matmul_max_rows=64, matmul_hashed=1,
+                           matmul_hashed_rows=64, **kw)
+    spec_g = be.make_spec(matmul_max_rows=0, **kw)
+    assert np.array_equal(spec_mm.resolutions, spec_g.resolutions)
+    assert np.array_equal(spec_mm.level_rows, spec_g.level_rows)
+    assert spec_mm.hashed[1] and spec_mm.matmul[1] and not spec_g.matmul[1]
+
+    table = jax.random.normal(jax.random.PRNGKey(0),
+                              (spec_g.total_rows, spec_g.row_dim))
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (40, 3))
+    out_mm = np.asarray(be.encode(table, pts, spec_mm))
+    out_g = np.asarray(be.encode(table, pts, spec_g))
+    np.testing.assert_allclose(out_mm, out_g, rtol=5e-2, atol=5e-3)
+
+    g_mm = jax.grad(lambda t: jnp.sum(be.encode(t, pts, spec_mm) ** 2))(table)
+    g_g = jax.grad(lambda t: jnp.sum(be.encode(t, pts, spec_g) ** 2))(table)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_g),
+                               rtol=5e-2, atol=5e-3)

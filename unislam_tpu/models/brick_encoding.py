@@ -85,13 +85,22 @@ def _geometric(lo: int, hi: int, n: int) -> list:
 def make_spec(n_levels: int = 4, n_features: int = 8,
               log2_hashmap_size: int = 16, base_resolution: int = 16,
               desired_resolution: int = 816,
-              matmul_max_rows: int = 0) -> BrickSpec:
+              matmul_max_rows: int = 0,
+              matmul_hashed: int = 0,
+              matmul_hashed_rows: int = 4096) -> BrickSpec:
     """Geometric resolution ladder from base to desired (same spirit as the
     reference's per_level_scale formula, UNISLAM.py:241).
 
     With `matmul_max_rows > 0`, level 1 is snapped down so its dense brick
     count fits the one-hot-matmul budget and the remaining levels re-spread
     geometrically up to `desired_resolution`.
+
+    `matmul_hashed`: additionally cap the first N *hashed* levels at
+    `matmul_max_rows` table rows and serve them by one-hot MXU matmul too.
+    Trades hash-collision rate (more collisions in the smaller table) for
+    zero gather/scatter rows on those levels — on TPU the scatter is
+    per-row-bound (~44-62 ns/row, BENCHLOG.md) while a <=4096-row one-hot
+    matmul runs at the MXU FLOP floor.
     """
     if n_levels > 1:
         resolutions = _geometric(base_resolution, desired_resolution,
@@ -110,12 +119,19 @@ def make_spec(n_levels: int = 4, n_features: int = 8,
     brick_res = np.int32(-(-resolutions // _BRICK_CELLS))  # ceil
     max_rows = 1 << log2_hashmap_size
     level_rows, hashed, matmul = [], [], []
+    hashed_seen = 0
     for br in brick_res:
         dense = int(br) ** 3
         if dense > max_rows:
-            level_rows.append(max_rows)
-            hashed.append(True)
-            matmul.append(False)
+            hashed_seen += 1
+            if hashed_seen <= matmul_hashed and matmul_max_rows > 0:
+                level_rows.append(min(max_rows, matmul_hashed_rows))
+                hashed.append(True)
+                matmul.append(True)
+            else:
+                level_rows.append(max_rows)
+                hashed.append(True)
+                matmul.append(False)
         else:
             level_rows.append(dense)
             hashed.append(False)

@@ -91,7 +91,10 @@ def make_scene_config(cfg: Dict[str, Any]) -> SceneConfig:
             log2_hashmap_size=int(cfg["grid"].get(
                 "brick_hash_size", cfg["grid"]["hash_size_sdf"])),
             desired_resolution=res_sdf,
-            matmul_max_rows=int(cfg["grid"].get("brick_matmul_rows", 4096)))
+            matmul_max_rows=int(cfg["grid"].get("brick_matmul_rows", 4096)),
+            matmul_hashed=int(cfg["grid"].get("brick_matmul_hashed", 0)),
+            matmul_hashed_rows=int(cfg["grid"].get(
+                "brick_matmul_hashed_rows", 4096)))
 
     return SceneConfig(
         sdf_spec=sdf_spec,
