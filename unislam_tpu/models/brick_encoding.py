@@ -248,33 +248,65 @@ def _scatter_rows_grad(g_rows: jnp.ndarray, idx: jnp.ndarray,
                        table_dtype) -> jnp.ndarray:
     """Backward of _gather_rows: accumulate per-point row cotangents into a
     zero table. Scatter-add for gather levels; transposed one-hot matmul
-    (MXU scatter-reduce) for matmul levels."""
+    (MXU scatter-reduce) for matmul levels.
+
+    The table cotangent is assembled by CONCATENATING per-level-range
+    pieces, never by dynamic-update-slicing a full-size table: the DUS form
+    made XLA materialize + add several full (total_rows, 27F) tensors
+    (~1.5 ms/iter at mapping scale, see the fusion.12/add_any trace in
+    BENCHLOG.md)."""
     matmul_flags = (spec.matmul if spec.matmul is not None
                     else np.zeros(spec.n_levels, bool))
     offsets = spec.row_offsets.astype(np.int64)
-    g_table = jnp.zeros(table_shape, dtype=jnp.float32)
+    D = g_rows.shape[-1]
+    level_of = {l: k for k, l in enumerate(levels)}
 
-    gather_pos = [k for k, l in enumerate(levels) if not matmul_flags[l]]
-    if gather_pos:
-        gl = np.asarray([levels[k] for k in gather_pos])
-        g_idx = idx[np.asarray(gather_pos), :] + \
-            jnp.asarray(offsets[gl].astype(np.int32))[:, None]
-        g_table = g_table.at[g_idx.reshape(-1)].add(
-            g_rows[np.asarray(gather_pos)].reshape(-1, g_rows.shape[-1]))
-    for k, l in enumerate(levels):
-        if not matmul_flags[l]:
+    # group CONSECUTIVE gather levels so each run is one scatter-add
+    pieces = []         # (row_start, row_end, piece or None-for-zeros)
+    run = []            # current run of gather levels [(level, pos), ...]
+
+    def flush_run():
+        if not run:
+            return
+        lv = np.asarray([l for l, _ in run])
+        pos = np.asarray([k for _, k in run])
+        base = int(offsets[lv[0]])
+        n_rows = int(offsets[lv[-1] + 1] - base)
+        g_idx = idx[pos, :] + \
+            jnp.asarray((offsets[lv] - base).astype(np.int32))[:, None]
+        piece = jnp.zeros((n_rows, D), jnp.float32).at[
+            g_idx.reshape(-1)].add(g_rows[pos].reshape(-1, D))
+        pieces.append((base, base + n_rows, piece))
+        run.clear()
+
+    for l in range(spec.n_levels):
+        if l not in level_of:
             continue
+        k = level_of[l]
+        if not matmul_flags[l]:
+            run.append((l, k))
+            continue
+        flush_run()
         rows_l = int(spec.level_rows[l])
         onehot = (idx[k][:, None]
                   == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
                   ).astype(jnp.bfloat16)
         g_tbl = jnp.dot(onehot.T, g_rows[k].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
-        g_table = jax.lax.dynamic_update_slice_in_dim(
-            g_table,
-            jax.lax.slice_in_dim(g_table, int(offsets[l]),
-                                 int(offsets[l]) + rows_l, axis=0) + g_tbl,
-            int(offsets[l]), axis=0)
+        base = int(offsets[l])
+        pieces.append((base, base + rows_l, g_tbl))
+    flush_run()
+
+    # stitch: zeros for level ranges outside `levels`
+    parts, cursor = [], 0
+    for start, end, piece in sorted(pieces, key=lambda p: p[0]):
+        if start > cursor:
+            parts.append(jnp.zeros((start - cursor, D), jnp.float32))
+        parts.append(piece)
+        cursor = end
+    if cursor < table_shape[0]:
+        parts.append(jnp.zeros((table_shape[0] - cursor, D), jnp.float32))
+    g_table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return g_table.astype(table_dtype)
 
 

@@ -7,9 +7,9 @@ hash-grid features. Structure matches the reference's vanilla
 (`tcnn_network: False`) path — `n_blocks` hidden linears with biases plus an
 output linear — which is its exactly-reproducible branch.
 
-At width 16 these matmuls are tiny; in the fused Pallas path
-(unislam_tpu/ops/pallas) the activations never leave VMEM. Here they are
-plain jnp.dot, which XLA fuses into the surrounding elementwise work.
+At width 16 these matmuls are tiny; XLA fuses them into the surrounding
+elementwise work (profiled at <1 ms per mapping iteration, BENCHLOG.md —
+a hand-written Pallas fusion has nothing left to win here).
 """
 
 from __future__ import annotations
