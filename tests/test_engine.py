@@ -40,6 +40,62 @@ def test_keyframe_bank_add_and_contents():
     assert int(bank.count) == 2 and int(bank.frame_idx[1]) == 9
 
 
+def test_keyframe_bank_eviction_compacts_and_preserves_order():
+    H, W, B = 8, 8, 10
+    max_kf = 3
+    bank = kf_lib.init_bank(max_kf=max_kf, bank_size=B)
+    add = kf_lib.make_add_keyframe(H, W, B)
+    evict = kf_lib.make_evict_keyframe(max_kf)
+    rays_d = jnp.ones((H, W, 3))
+    c2w = jnp.eye(4)
+    for i, fid in enumerate([0, 4, 8]):
+        depth = jnp.full((H, W), float(fid) + 1.0)
+        color = jnp.zeros((H, W, 3))
+        bank = add(bank, depth, color, rays_d, c2w, c2w, jnp.int32(fid),
+                   jax.random.PRNGKey(i))
+    assert int(bank.count) == max_kf
+    # evict the middle slot: newer keyframes shift down, order preserved
+    bank = evict(bank, jnp.int32(1))
+    assert int(bank.count) == max_kf - 1
+    assert np.asarray(bank.frame_idx)[:2].tolist() == [0, 8]
+    assert int(bank.frame_idx[max_kf - 1]) == -1
+    np.testing.assert_allclose(np.asarray(bank.depth[1]), 9.0)
+    # adding again fills the freed newest slot
+    bank = add(bank, jnp.full((H, W), 13.0), jnp.zeros((H, W, 3)), rays_d,
+               c2w, c2w, jnp.int32(12), jax.random.PRNGKey(3))
+    assert int(bank.count) == max_kf
+    assert np.asarray(bank.frame_idx).tolist() == [0, 8, 12]
+
+
+def test_slam_keyframe_saturation_evicts_not_drops():
+    """Past max_kf the driver evicts (oldest-extra-first) instead of silently
+    dropping new keyframes (the round-1 behavior VERDICT.md flagged)."""
+    intr = Intrinsics(H=24, W=32, fx=30.0, fy=30.0, cx=15.5, cy=11.5)
+    ds = SyntheticRoom(n_frames=12, intr=intr)
+    cfg = make_config(ds, {
+        "mapping": {"keyframe_every": 1, "every_frame": 2, "pixels": 100,
+                    "iters": 1, "iters_first": 1},
+        "tracking": {"pixels": 50, "iters": 1},
+        "rendering": {"n_stratified": 8, "n_importance": 4},
+    })
+    slam = UniSLAM(cfg, ds, seed=0)
+    slam.max_kf = 4  # force saturation quickly
+    slam.bank = kf_lib.init_bank(4, slam.bank_size)
+    slam._evict_kf = kf_lib.make_evict_keyframe(4)
+    slam.kf_is_cadence = np.zeros(4, dtype=bool)
+    c2w = np.eye(4, dtype=np.float32)
+    depth = jnp.ones((intr.H, intr.W))
+    color = jnp.full((intr.H, intr.W, 3), 0.5)
+    for idx in range(8):
+        slam.est_c2w[idx] = c2w
+        slam.maybe_add_keyframe(idx, depth, color, c2w)
+    fids = np.asarray(slam.bank.frame_idx)
+    assert int(slam.bank.count) == 4
+    assert fids[0] == 0            # anchor kept
+    assert fids[-1] == 7           # newest keyframe always lands
+    assert np.all(np.diff(fids) > 0)  # temporal slot order preserved
+
+
 def test_selection_overlap_sanity():
     """A keyframe at the same pose sees ~full overlap; an opposite-facing
     keyframe sees ~none."""

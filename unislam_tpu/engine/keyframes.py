@@ -73,3 +73,35 @@ def make_add_keyframe(H: int, W: int, bank_size: int):
         )
 
     return add
+
+
+def make_evict_keyframe(max_kf: int):
+    """Jitted compacting eviction: remove `slot`, shift newer keyframes down
+    one, decrement count.
+
+    Compaction (not a ring overwrite) preserves the slot-order == temporal-
+    order invariant that window selection relies on ("last two keyframes" =
+    slots count-1/count-2, selection.py:84). The reference never evicts (its
+    keyframe list is unbounded, /root/reference/src/Mapper.py:528-541); a
+    preallocated bank needs a policy once `count == max_kf` — the driver
+    prefers evicting tracking-back extras, then the oldest cadence keyframe
+    after the anchor (slam.py)."""
+
+    def _compact(a: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+        idx = jnp.arange(max_kf)
+        src = jnp.minimum(jnp.where(idx < slot, idx, idx + 1), max_kf - 1)
+        return a[src]
+
+    @jax.jit
+    def evict(bank: KeyframeBank, slot: jnp.ndarray) -> KeyframeBank:
+        return KeyframeBank(
+            depth=_compact(bank.depth, slot),
+            color=_compact(bank.color, slot),
+            rays_d=_compact(bank.rays_d, slot),
+            pose7=_compact(bank.pose7, slot),
+            gt_c2w=_compact(bank.gt_c2w, slot),
+            frame_idx=_compact(bank.frame_idx, slot).at[max_kf - 1].set(-1),
+            count=jnp.maximum(bank.count - 1, 0),
+        )
+
+    return evict

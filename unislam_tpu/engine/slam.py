@@ -88,6 +88,11 @@ class UniSLAM:
         self.bank = kf_lib.init_bank(self.max_kf, self.bank_size)
         self._add_kf = kf_lib.make_add_keyframe(self.intr.H, self.intr.W,
                                                 self.bank_size)
+        self._evict_kf = kf_lib.make_evict_keyframe(self.max_kf)
+        # host mirror: which slots hold cadence keyframes (vs tracking-back
+        # extras) — drives the eviction preference without device syncs
+        self.kf_is_cadence = np.zeros(self.max_kf, dtype=bool)
+        self._evict_warned = False
 
         # jitted steps (single-iteration + fused whole-frame variants)
         self.track_step, self.track_opt, self.track_frame_fn = \
@@ -252,15 +257,35 @@ class UniSLAM:
         return float(loss)
 
     # ------------------------------------------------------------------
+    def _evict_slot(self) -> int:
+        """Pick the bank slot to recycle when full: the oldest tracking-back
+        extra if any exist (they are transient densification, not trajectory
+        backbone), else the oldest cadence keyframe after the slot-0 anchor
+        (kept for loop-closure reach)."""
+        count = int(self.bank.count)
+        extras = np.nonzero(~self.kf_is_cadence[:count])[0]
+        if len(extras):
+            return int(extras[0])
+        return 1 if count > 1 else 0
+
     def maybe_add_keyframe(self, idx: int, depth_img, color_img,
                            gt_c2w: np.ndarray):
         if idx % self.mc.keyframe_every == 0 or self.tracking_back:
             if int(self.bank.count) >= self.max_kf:
-                return
+                slot = self._evict_slot()
+                self.bank = self._evict_kf(self.bank, jnp.int32(slot))
+                self.kf_is_cadence[slot:-1] = self.kf_is_cadence[slot + 1:]
+                if not self._evict_warned:
+                    print(f"[keyframes] bank full ({self.max_kf} slots) at "
+                          f"frame {idx}: evicting (oldest-extra-first "
+                          "policy). Raise max_kf headroom if this recurs.")
+                    self._evict_warned = True
             self.bank = self._add_kf(
                 self.bank, depth_img, color_img, self.cam_rays_d,
                 jnp.asarray(self.est_c2w[idx]), jnp.asarray(gt_c2w),
                 jnp.int32(idx), self._next_key())
+            self.kf_is_cadence[int(self.bank.count) - 1] = (
+                idx % self.mc.keyframe_every == 0)
 
     # ------------------------------------------------------------------
     def step_frame(self, idx: int):

@@ -16,7 +16,9 @@ src/networks/decoders.py:91-105. Same algorithm family (Mueller et al. 2022,
 
 Parameters live in ONE flat `(total_entries, F)` jnp array so optax treats
 the whole grid as a single leaf; gradients reach it through XLA gather /
-scatter-add (a fused Pallas path lives in unislam_tpu/ops/pallas).
+scatter-add. This is the reference-parity mode; the TPU-throughput path is
+models/brick_encoding.py (see BENCHLOG.md for why per-corner gathers lose
+on TPU).
 
 All per-level constants (scales, resolutions, offsets, hashed flags) are
 static numpy, so the encode traces to fixed-shape gathers that XLA can batch.

@@ -3,11 +3,12 @@
 Rewrite of /root/reference/src/tools/cull_mesh.py:31-163 using the native
 frustum-visibility kernel instead of torch grid_sample. Two operations:
 
-- `cull_mesh`: per-frame frustum + (optionally) depth-consistency test over
-  the whole trajectory; faces whose three vertices are never visible are
-  dropped. Writes `<name>_culled.ply` next to the input.
-- `cull_out_bound`: drop faces outside a SceneBound convex hull
-  (cull_out_bound_mesh, :111-148) — used by the Mesher directly.
+- `cull_mesh` (here): per-frame frustum + (optionally) depth-consistency
+  test over the whole trajectory; faces whose three vertices are never
+  visible are dropped. Writes `<name>_culled.ply` next to the input.
+- out-of-bound culling (reference `cull_out_bound_mesh`, :111-148) lives in
+  utils/mesher.py (`Mesher` drops out-of-hull vertices at extraction time,
+  mesher.py:146-157) — it is part of meshing, not a separate CLI pass.
 """
 
 from __future__ import annotations
