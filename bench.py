@@ -41,7 +41,7 @@ def main():
     ds = SyntheticRoom(n_frames=16, intr=intr, half=3.5, orbit_r=1.2,
                        sphere_c=(1.0, -1.0, 0.0), sphere_r=0.8,
                        deg_per_frame=1.0)
-    cfg = make_config(ds, {
+    overrides = {
         "tracking": {"pixels": 2000, "iters": 8, "ignore_edge_W": 75,
                      "ignore_edge_H": 75},
         "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
@@ -49,11 +49,24 @@ def main():
         "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
-                 # TPU-native brick encoding: one gather row per point/level
-                 "encoding": "brick", "brick_levels": 4,
+                 # TPU-native brick encoding: one gather row per point/level;
+                 # 3-level ladder [20, 128, 816] — the round-1 4-level ladder
+                 # [16, 20, 128, 816] carried a redundant res-16 level whose
+                 # per-row gather/scatter work cost ~1.5 ms/iter for no
+                 # measurable quality (BENCHLOG.md round 2)
+                 "encoding": "brick", "brick_levels": 3,
+                 "brick_base_res": 20,
                  "brick_features": 8, "brick_hash_size": 16,
                  "brick_matmul_rows": 1024, "brick_matmul_hashed": 1},
-    })
+    }
+    # experiment hook: JSON dict of config-section overrides, e.g.
+    # UNISLAM_BENCH_GRID='{"brick_levels": 4}'
+    import os
+    for sec in ("grid", "rendering", "mapping", "tracking"):
+        env = os.environ.get(f"UNISLAM_BENCH_{sec.upper()}")
+        if env:
+            overrides[sec].update(json.loads(env))
+    cfg = make_config(ds, overrides)
     slam = UniSLAM(cfg, ds, seed=0)
 
     n_samples = 32 + 8

@@ -145,7 +145,10 @@ def test_custom_vjp_matches_autodiff():
 
         gt_c, gp_c = jax.grad(loss_custom, argnums=(0, 1))(table, pts)
         gt_a, gp_a = jax.grad(loss_auto, argnums=(0, 1))(table, pts)
-        tol = 1e-4 if mm == 0 else 3e-2
+        # g_rows are materialized in bf16 by design (round 2: halves the
+        # scatter-input HBM traffic), so the custom VJP differs from f32
+        # autodiff at bf16 resolution (~8e-3 worst case)
+        tol = 1e-2 if mm == 0 else 3e-2
         np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_a),
                                    atol=tol, rtol=tol)
         np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a),

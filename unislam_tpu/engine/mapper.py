@@ -21,6 +21,7 @@ Design deltas (behavior-preserving):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -217,7 +218,10 @@ def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
             opt_tree = optax.apply_updates(opt_tree, updates)
             return opt_tree, opt_state, loss
 
-        @jax.jit
+        # opt_tree/opt_state are donated: the driver always rebinds them, and
+        # donation lets XLA update the ~60 MB table + 120 MB Adam state in
+        # place instead of copying per phase dispatch.
+        @partial(jax.jit, donate_argnums=(0, 1))
         def map_phase(opt_tree, opt_state, bank, cur_depth, cur_color,
                       cur_rays_d, sel_probs, extra_probs, pose_grad_mask, key,
                       n_iters):

@@ -211,26 +211,45 @@ def _level_indices(points: jnp.ndarray, spec: BrickSpec, levels: tuple):
     return idx, local, frac
 
 
+# Forward lookup strategy threshold (measured on TPU v5e, BENCHLOG.md
+# round 2). Chained-dispatch micro-probes said XLA gather (~6 ns/row,
+# T-independent) beats the one-hot dot for T >= ~1000 — but in the REAL
+# fwd+bwd graph the switch LOSES (~4% end-to-end): the backward's transposed
+# one-hot matmul needs the one-hot anyway, and XLA CSEs the forward's
+# one-hot into it, so a gather forward just moves the generation cost into
+# the backward. Disabled by default; kept as an env knob for re-measurement
+# on future hardware/compilers.
+import os as _os
+_FWD_GATHER_MIN_ROWS = int(_os.environ.get("UNISLAM_FWD_GATHER_MIN_ROWS",
+                                           str(1 << 30)))
+
+
 def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
                  spec: BrickSpec, levels: tuple) -> jnp.ndarray:
-    """Fetch each level's (N, 27F) feature rows: XLA gather for large/hashed
-    levels, one-hot MXU matmul for small dense levels. `idx` is
-    (len(levels), N); returns (len(levels), N, 27F) float32."""
+    """Fetch each level's (N, 27F) feature rows: XLA gather for large
+    levels, one-hot MXU matmul for small dense levels (see
+    _FWD_GATHER_MIN_ROWS). `idx` is (len(levels), N); returns
+    (len(levels), N, 27F) float32."""
     matmul_flags = (spec.matmul if spec.matmul is not None
                     else np.zeros(spec.n_levels, bool))
     offsets = spec.row_offsets.astype(np.int64)
 
     level_rows_out = [None] * len(levels)
-    gather_pos = [k for k, l in enumerate(levels) if not matmul_flags[l]]
+    gather_pos = [k for k, l in enumerate(levels)
+                  if not matmul_flags[l]
+                  or spec.level_rows[l] >= _FWD_GATHER_MIN_ROWS]
     if gather_pos:
         gl = np.asarray([levels[k] for k in gather_pos])
         g_idx = idx[np.asarray(gather_pos), :] + \
             jnp.asarray(offsets[gl].astype(np.int32))[:, None]
-        rows_g = table[g_idx].astype(jnp.float32)      # (Lg, N, 27F)
+        # bf16 rows: halves the gather + downstream interp HBM traffic;
+        # tcnn stores whole tables in fp16 (same tolerance argument), and
+        # the one-hot matmul path already rounded rows to bf16
+        rows_g = table.astype(jnp.bfloat16)[g_idx]     # (Lg, N, 27F)
         for j, k in enumerate(gather_pos):
             level_rows_out[k] = rows_g[j]
     for k, l in enumerate(levels):
-        if not matmul_flags[l]:
+        if level_rows_out[k] is not None:
             continue
         rows_l = int(spec.level_rows[l])
         tbl = jax.lax.slice_in_dim(table, int(offsets[l]),
@@ -239,7 +258,7 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
                   == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
                   ).astype(jnp.bfloat16)
         level_rows_out[k] = jnp.dot(onehot, tbl.astype(jnp.bfloat16),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.bfloat16)
     return jnp.stack(level_rows_out, axis=0)
 
 
@@ -275,7 +294,8 @@ def _scatter_rows_grad(g_rows: jnp.ndarray, idx: jnp.ndarray,
         g_idx = idx[pos, :] + \
             jnp.asarray((offsets[lv] - base).astype(np.int32))[:, None]
         piece = jnp.zeros((n_rows, D), jnp.float32).at[
-            g_idx.reshape(-1)].add(g_rows[pos].reshape(-1, D))
+            g_idx.reshape(-1)].add(
+                g_rows[pos].reshape(-1, D).astype(jnp.float32))
         pieces.append((base, base + n_rows, piece))
         run.clear()
 
@@ -335,10 +355,12 @@ def _encode_fwd(table, points, spec, levels):
     L = len(levels)
     p = jnp.clip(points, 0.0, 1.0)
     idx, local, frac = _level_indices(p, spec, levels)
-    rows = _gather_rows(table, idx, spec, levels)      # (L,N,27F)
+    rows = _gather_rows(table, idx, spec, levels)      # (L,N,27F) bf16
     rows4 = rows.reshape(L, N, _BRICK_VERTS ** 3, spec.n_features)
     w, _ = _interp_weights(local, frac)
-    out = jnp.einsum("lnv,lnvf->lnf", w, rows4)
+    # w stays f32 (exact trilinear weights); rows are bf16 storage — the
+    # convert fuses into the reduce, so HBM traffic is bf16
+    out = jnp.einsum("lnv,lnvf->lnf", w, rows4.astype(jnp.float32))
     out = jnp.moveaxis(out, 0, 1).reshape(N, L * spec.n_features)
     return out, (table, points, idx, local, frac, rows)
 
@@ -352,13 +374,18 @@ def _encode_bwd(spec, levels, res, g_out):
     rows4 = rows.reshape(L, N, V, F)
     w, (wx, wy, wz) = _interp_weights(local, frac)
 
-    # table cotangent: g_rows[l,n,v,f] = w[l,n,v] * g[l,n,f]
-    g_rows = (w[..., None] * g[:, :, None, :]).reshape(L, N, V * F)
+    # table cotangent: g_rows[l,n,v,f] = w[l,n,v] * g[l,n,f], materialized
+    # in bf16 (the scatter/matmul consumers convert/accumulate in f32
+    # inside their fusions — only the bf16 tensor hits HBM)
+    g_bf = g.astype(jnp.bfloat16)
+    g_rows = (w.astype(jnp.bfloat16)[..., None]
+              * g_bf[:, :, None, :]).reshape(L, N, V * F)
     g_table = _scatter_rows_grad(g_rows, idx, spec, levels, table.shape,
                                  table.dtype)
 
     # points cotangent: through the trilinear weights only.
-    g_w = jnp.einsum("lnvf,lnf->lnv", rows4, g)        # (L,N,27)
+    g_w = jnp.einsum("lnvf,lnf->lnv", rows4.astype(jnp.float32),
+                     g)                                # (L,N,27)
     g_w3 = g_w.reshape(L, N, _BRICK_VERTS, _BRICK_VERTS, _BRICK_VERTS)
     dwx = _axis_onehot_grad(local[..., 0])
     dwy = _axis_onehot_grad(local[..., 1])

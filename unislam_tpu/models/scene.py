@@ -90,6 +90,7 @@ def make_scene_config(cfg: Dict[str, Any]) -> SceneConfig:
             n_features=int(cfg["grid"].get("brick_features", 8)),
             log2_hashmap_size=int(cfg["grid"].get(
                 "brick_hash_size", cfg["grid"]["hash_size_sdf"])),
+            base_resolution=int(cfg["grid"].get("brick_base_res", 16)),
             desired_resolution=res_sdf,
             matmul_max_rows=int(cfg["grid"].get("brick_matmul_rows", 4096)),
             matmul_hashed=int(cfg["grid"].get("brick_matmul_hashed", 0)),

@@ -58,11 +58,25 @@ def sdf2alpha(sdf: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
 
 
 def _exclusive_cumprod_weights(alpha: jnp.ndarray) -> jnp.ndarray:
-    """w_i = alpha_i * prod_{j<i}(1 - alpha_j + 1e-10) (Renderer.py:141-142)."""
+    """w_i = alpha_i * prod_{j<i}(1 - alpha_j + 1e-10) (Renderer.py:141-142).
+
+    The prefix product is computed by log2(S) shift-multiply doubling steps
+    instead of `jnp.cumprod`: XLA lowers cumprod to a sequential S-step scan
+    with per-step transposes (~13% of the mapping iteration's estimated
+    cycles, BENCHLOG.md round 1); the doubling form is 6 lane-shifted
+    multiplies for S=40 — same O(S log S) flops, no scan, and exact
+    (products are reassociated, fp differences are ~1 ulp)."""
     shifted = jnp.concatenate(
         [jnp.ones_like(alpha[..., :1]), 1.0 - alpha[..., :-1] + 1e-10],
         axis=-1)
-    return alpha * jnp.cumprod(shifted, axis=-1)
+    S = shifted.shape[-1]
+    p = shifted
+    k = 1
+    while k < S:
+        pad = jnp.ones_like(p[..., :k])
+        p = p * jnp.concatenate([pad, p[..., :-k]], axis=-1)
+        k *= 2
+    return alpha * p
 
 
 def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
