@@ -38,7 +38,8 @@ def build_slam():
         "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
-                 "encoding": "brick", "brick_levels": 4,
+                 "encoding": "brick", "brick_levels": 3,
+                 "brick_base_res": 20,
                  "brick_features": 8, "brick_hash_size": 16,
                  "brick_matmul_rows": 1024, "brick_matmul_hashed": 1},
     })

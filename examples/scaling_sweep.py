@@ -8,6 +8,11 @@ devices and prints rays/s per mesh size.
 On a machine with one TPU chip this exercises the sharded compile path on a
 virtual CPU mesh (the driver's dryrun does the same); on a pod slice it
 measures true ICI scaling. Select with --platform {cpu,tpu} --devices N.
+
+Multi-HOST: `--hosts N` spawns N coordinated processes (jax.distributed +
+gloo on CPU; on real pods run one process per host with UNISLAM_COORDINATOR
+/ UNISLAM_NUM_PROCESSES / UNISLAM_PROCESS_ID set instead) and runs the same
+step over the global host-spanning mesh.
 """
 
 import argparse
@@ -25,7 +30,37 @@ def main():
                     help="max mesh size (cpu: virtual devices)")
     ap.add_argument("--rays", type=int, default=4000)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--hosts", type=int, default=1,
+                    help="simulate N hosts as N coordinated processes "
+                         "(jax.distributed; cpu platform)")
+    ap.add_argument("--_worker", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.hosts > 1 and args.platform is None:
+        args.platform = "cpu"
+
+    if args.hosts > 1 and args.platform == "cpu" and args._worker is None:
+        # launcher: spawn one worker process per simulated host
+        import socket
+        import subprocess
+        s = socket.socket(); s.bind(("localhost", 0))
+        port = s.getsockname()[1]; s.close()
+        per_host = max(1, args.devices // args.hosts)
+        procs = []
+        for pid in range(args.hosts):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--platform", "cpu", "--devices", str(per_host),
+                   "--rays", str(args.rays), "--iters", str(args.iters),
+                   "--hosts", str(args.hosts),
+                   "--_worker", f"{port},{pid}"]
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+            procs.append(subprocess.Popen(
+                cmd, env=env,
+                stdout=None if pid == 0 else subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL))
+        rc = [p.wait() for p in procs]
+        sys.exit(max(rc))
 
     if args.platform == "cpu":
         os.environ["XLA_FLAGS"] = (
@@ -35,6 +70,13 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args._worker is not None:
+        from unislam_tpu.parallel import distributed as dist
+        port, pid = args._worker.split(",")
+        dist.initialize_from_env(coordinator=f"localhost:{port}",
+                                 num_processes=args.hosts,
+                                 process_id=int(pid))
     import jax.numpy as jnp
     import numpy as np
 
@@ -47,7 +89,9 @@ def main():
     from unislam_tpu.render.renderer import RenderConfig
 
     n_avail = len(jax.devices())
-    print(f"platform={jax.devices()[0].platform} devices={n_avail}")
+    print(f"platform={jax.devices()[0].platform} devices={n_avail} "
+          f"processes={jax.process_count()}")
+    multiproc = jax.process_count() > 1
 
     intr = Intrinsics(H=120, W=160, fx=130.0, fy=130.0, cx=79.5, cy=59.5)
     bound = np.asarray([[-3.0, 3.0]] * 3, np.float32)
@@ -60,11 +104,18 @@ def main():
     rc = RenderConfig(n_stratified=32, n_importance=8, perturb=True)
     max_kf, bank_size = 8, 1024
 
-    sizes = [n for n in [1, 2, 4, 8, 16, 32] if n <= min(args.devices,
-                                                         n_avail)]
+    if multiproc:
+        sizes = [n_avail]   # one global host-spanning mesh
+    else:
+        sizes = [n for n in [1, 2, 4, 8, 16, 32]
+                 if n <= min(args.devices, n_avail)]
     results = []
     for n_dev in sizes:
-        mesh = sh.make_mesh(n_dev)
+        if multiproc:
+            from unislam_tpu.parallel import distributed as dist
+            mesh = dist.global_ray_mesh()
+        else:
+            mesh = sh.make_mesh(n_dev)
         per = max(1, args.rays // n_dev)
         mc = mapper_lib.MapperConfig(pixels=per * n_dev, iters=1,
                                      extra_rays=n_dev * 8)
@@ -94,19 +145,32 @@ def main():
         probs[[0, 1, 2, max_kf]] = 0.25
         pg = np.zeros((max_kf + 1, 1), np.float32)
 
+        if multiproc:
+            from unislam_tpu.parallel import distributed as dist
+            rep = lambda t: dist.replicate(mesh, t)
+            bank, depth, color, rays_d = rep((bank, depth, color, rays_d))
+            opt_tree, opt_state = rep((opt_tree, opt_state))
+            probs_j, pg_j = rep((jnp.asarray(probs), jnp.asarray(pg)))
+            fetch = lambda x: float(dist.fetch_replicated(x))
+        else:
+            probs_j, pg_j = jnp.asarray(probs), jnp.asarray(pg)
+            fetch = float
+
         def one(opt_tree, opt_state, key):
+            if multiproc:
+                from unislam_tpu.parallel import distributed as dist
+                key = dist.replicate(mesh, key)
             return step(opt_tree, opt_state, bank, depth, color, rays_d,
-                        jnp.asarray(probs), jnp.asarray(probs),
-                        jnp.asarray(pg), key)
+                        probs_j, probs_j, pg_j, key)
 
         key = jax.random.PRNGKey(7)
         opt_tree, opt_state, loss = one(opt_tree, opt_state, key)
-        float(loss)  # force compile + completion
+        fetch(loss)  # force compile + completion
         t0 = time.time()
         for i in range(args.iters):
             opt_tree, opt_state, loss = one(opt_tree, opt_state,
                                             jax.random.fold_in(key, i))
-        float(loss)
+        fetch(loss)
         dt = (time.time() - t0) / args.iters
         rays = mc.pixels + mc.extra_rays
         rps = rays / dt

@@ -1,0 +1,61 @@
+"""Multi-process worker for tests/test_multihost.py.
+
+Run as:  python tests/multihost_worker.py <port> <nproc> <pid> <ndev> <out>
+
+Initializes jax.distributed on the CPU backend with `ndev` virtual devices
+per process, builds the shared tiny mapping problem on the GLOBAL
+('rays',) mesh, runs one step, and (on process 0) writes the loss and
+per-leaf param checksums as JSON — compared by the test against a
+single-process run with the same total device count.
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    port, nproc, pid, ndev, out_path = sys.argv[1:6]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={ndev}")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from unislam_tpu.parallel import distributed as dist
+
+    my_pid = dist.initialize_from_env(coordinator=f"localhost:{port}",
+                                      num_processes=int(nproc),
+                                      process_id=int(pid))
+    assert jax.device_count() == int(nproc) * int(ndev), \
+        f"global devices {jax.device_count()}"
+
+    from unislam_tpu.parallel import sim
+
+    mesh = dist.global_ray_mesh()
+    p = sim.build_tiny_mapping_problem(mesh=mesh)
+    # every jit input must be a global array in multi-process mode
+    rep = lambda t: dist.replicate(mesh, t)
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(3)
+    opt_tree, opt_state, loss = p.step(
+        rep(p.opt_tree), rep(p.opt_state), rep(p.bank), rep(p.depth),
+        rep(p.color), rep(p.rays_d), rep(p.probs), rep(p.extra_probs),
+        rep(p.pose_grad_mask), rep(key))
+    loss_val = float(dist.fetch_replicated(loss))
+
+    if my_pid == 0:
+        result = {"loss": loss_val,
+                  "checksums": sim.param_checksums(opt_tree),
+                  "n_global_devices": jax.device_count(),
+                  "n_processes": jax.process_count()}
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+    print(f"worker {my_pid} done loss={loss_val}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
