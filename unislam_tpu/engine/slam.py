@@ -65,6 +65,14 @@ class UniSLAM:
         self.cfg = cfg
         self.dataset = dataset
         self.n_img = len(dataset)
+        # background look-ahead decode (reference: 4-worker DataLoader with
+        # pinned memory, Tracker.py:96-97; here a 1-worker prefetch suffices
+        # because the driver is frame-sequential)
+        if cfg.get("data", {}).get("prefetch", True):
+            from unislam_tpu.data.prefetch import FramePrefetcher
+            self._frames = FramePrefetcher(dataset)
+        else:
+            self._frames = dataset
         self.verbose = cfg.get("verbose", False)
         self.output = output or cfg.get("data", {}).get("output", "output/run")
 
@@ -144,7 +152,7 @@ class UniSLAM:
         return sub
 
     def _frame(self, idx: int):
-        color, depth, gt_c2w = self.dataset[idx]
+        color, depth, gt_c2w = self._frames[idx]
         return (jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32),
                 np.asarray(gt_c2w, np.float32))
 
@@ -290,7 +298,13 @@ class UniSLAM:
     # ------------------------------------------------------------------
     def step_frame(self, idx: int):
         """Process one frame end-to-end (track -> map -> keyframe)."""
-        color, depth, gt_c2w = self._frame(idx)
+        if self.stats is not None:
+            # proves prefetch keeps decode off the critical path: with the
+            # background loader this phase is ~0 on disk-backed datasets
+            with self.stats.phase("frame_fetch"):
+                color, depth, gt_c2w = self._frame(idx)
+        else:
+            color, depth, gt_c2w = self._frame(idx)
         self.gt_c2w[idx] = gt_c2w
 
         if idx == 0 or self.tc.gt_camera:
