@@ -205,3 +205,39 @@ def test_pose_evaluation_and_ate():
     # with alignment the constant offset vanishes
     _, res_aligned = pose_evaluation(gt, est, pose_alignment=True)
     assert res_aligned["error.rmse"] < 0.01
+
+
+def test_ate_plot_artifacts(tmp_path):
+    """pose_evaluation emits the reference's full plot set: trajectory,
+    3x2 velocity panels (incl. quaternion angular velocity), per-frame
+    translation-error JSON + scatter strip + colorbar
+    (ref eval_ate.py:92-167, 283-334)."""
+    import os
+
+    from unislam_tpu.tools import eval_ate
+
+    n = 20
+    gt = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+    th = np.linspace(0, 0.8, n)
+    gt[:, 0, 3] = np.cos(th)
+    gt[:, 2, 3] = np.sin(th)
+    for i, t in enumerate(th):
+        c, s = np.cos(t), np.sin(t)
+        gt[i, :3, :3] = np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    est = gt.copy()
+    est[:, 0, 3] += 0.01
+    w = np.full(n, 1e-4)
+    te, res = eval_ate.pose_evaluation(
+        gt, est, weights=w, plot_path=str(tmp_path / "pose.png"))
+    assert res["error.rmse"] > 0
+    for f in ("pose.png", "velocity.png", "trans_error_data.json",
+              "translation_error_scatter.png", "uncertainty_colorbar.png"):
+        p = tmp_path / f
+        assert p.exists() and p.stat().st_size > 0, f
+
+    vel, acc = eval_ate.angular_velocity_from_quats(
+        np.asarray([[1, 0, 0, 0], [1, 0, 0, 0], [0.9, 0.1, 0, 0]]))
+    assert vel[0] == 0 and vel[1] == 0 and vel[2] > 0
+    clamped = eval_ate.replace_outliers_with_median(
+        np.asarray([1.0, 1.0, 1.0, 100.0]))
+    assert clamped[3] == 1.0

@@ -108,12 +108,36 @@ def _plot_trajectory(gt_xyz, est_xyz, results, path):
     plt.close(fig)
 
 
-def plot_velocities(gt_c2w, est_c2w, path):
-    """Linear/angular velocity + acceleration panels
-    (eval_ate.py:92-167, plot_combined_velocity)."""
+def angular_velocity_from_quats(quats: np.ndarray):
+    """Rotational velocity/acceleration magnitudes from per-frame unit
+    quaternions, matching the reference's finite-difference form
+    (eval_ate.py:47-71, quaternion_to_rotational_velocity_round):
+    |omega_t| = |2 (q_t - q_{t-1})| at dt = 1 frame, zero-prepended."""
+    q = np.asarray(quats, np.float64)
+    vel = np.linalg.norm(2.0 * np.diff(q, axis=0), axis=1)
+    vel = np.concatenate([[0.0], vel])
+    acc = np.concatenate([[0.0], np.diff(vel)])
+    return vel, acc
+
+
+def replace_outliers_with_median(data: np.ndarray, factor: float = 20.0):
+    """Clamp |x| > factor*median(x) to the median (eval_ate.py:72-89) —
+    keeps one bad quaternion flip from wrecking the plot scale."""
+    data = np.asarray(data, np.float64)
+    med = np.median(data)
+    out = np.where(data > med * factor, med, data)
+    return np.where(out < -med * factor, med, out)
+
+
+def plot_velocities(gt_c2w, est_c2w, path, weights=None):
+    """Linear + angular (quaternion-derived) velocity panels with the
+    rendered-weight/uncertainty strip — the reference's
+    plot_combined_velocity 3x2 figure (eval_ate.py:92-167)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    from unislam_tpu.core import pose as pose_lib
 
     def lin(tr):
         v = np.concatenate([[np.zeros(3)], np.diff(tr, axis=0)])
@@ -121,26 +145,78 @@ def plot_velocities(gt_c2w, est_c2w, path):
         a = np.concatenate([[0.0], np.diff(vm)])
         return vm, a
 
-    gt_t = np.asarray(gt_c2w)[:, :3, 3]
-    est_t = np.asarray(est_c2w)[:, :3, 3]
-    vg, ag = lin(gt_t)
-    ve, ae = lin(est_t)
+    gt = np.asarray(gt_c2w, np.float32)
+    est = np.asarray(est_c2w, np.float32)
+    vg, _ = lin(gt[:, :3, 3])
+    ve, _ = lin(est[:, :3, 3])
 
-    fig, axes = plt.subplots(2, 2, figsize=(10, 6))
-    for ax, (y1, y2, title) in zip(
-            axes.ravel(),
-            [(vg, ve, "linear velocity"), (ag, ae, "linear acceleration"),
-             (vg - ve, None, "velocity delta"), (None, None, "")]):
-        if y1 is None:
-            ax.axis("off")
-            continue
-        ax.plot(y1, label="gt")
-        if y2 is not None:
-            ax.plot(y2, label="est")
+    import jax.numpy as jnp
+    q_gt = np.asarray(pose_lib.matrix_to_cam_pose(jnp.asarray(gt)))[:, :4]
+    q_est = np.asarray(pose_lib.matrix_to_cam_pose(jnp.asarray(est)))[:, :4]
+    wg, _ = angular_velocity_from_quats(q_gt)
+    we, ae = angular_velocity_from_quats(q_est)
+    wg = replace_outliers_with_median(wg)
+    we = replace_outliers_with_median(we)
+    ae = replace_outliers_with_median(ae)
+
+    unc = (np.asarray(weights, np.float64) if weights is not None
+           else np.zeros(len(vg)))
+
+    fig, axes = plt.subplots(3, 2, figsize=(12, 18))
+    panels = [
+        (vg, "Linear Velocity GT", "Velocity (units/s)"),
+        (wg, "Angular Velocity GT", "Angular Velocity (rad/s)"),
+        (ve, "Linear Velocity Est", "Velocity (units/s)"),
+        (we, "Angular Velocity Est", "Angular Velocity (rad/s)"),
+        (unc, "uncertainty", "uncertainty"),
+        (ae, "Angular Acceleration Est", "rad/s^2"),
+    ]
+    for ax, (y, title, ylabel) in zip(axes.ravel(), panels):
+        ax.plot(np.arange(len(y)), y)
         ax.set_title(title)
-        ax.legend()
+        ax.set_xlabel("Time (s)")
+        ax.set_ylabel(ylabel)
+    fig.tight_layout()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=90)
+    plt.close(fig)
+
+
+def vis_trans_error(trans_error_cm, output, file_path="trans_error_data.json"):
+    """Per-frame translation-error JSON + scatter strip + uncertainty
+    colorbar (eval_ate.py:283-334)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.cm import ScalarMappable
+    from matplotlib.colors import Normalize
+
+    os.makedirs(output, exist_ok=True)
+    err_m = np.asarray(trans_error_cm, np.float64) / 100.0  # reference: m
+    with open(os.path.join(output, file_path), "w") as f:
+        json.dump({"trans_error": [round(float(e), 4) for e in err_m]}, f)
+
+    cmap = plt.get_cmap("viridis")
+    norm = Normalize(vmin=0, vmax=0.001)
+    fig, ax = plt.subplots(figsize=(0.35, 4), dpi=300)
+    cb = fig.colorbar(ScalarMappable(norm=norm, cmap=cmap), cax=ax)
+    cb.set_label("Uncertainty Value")
+    fig.savefig(os.path.join(output, "uncertainty_colorbar.png"),
+                bbox_inches="tight")
+    plt.close(fig)
+
+    cmap = plt.get_cmap("jet")
+    norm = plt.Normalize(vmin=0, vmax=0.25)
+    fig, ax = plt.subplots(figsize=(6, 0.5), dpi=300)
+    for i, value in enumerate(err_m):
+        ax.vlines(i, 0, 1, color=cmap(norm(value)), linewidth=2)
+    ax.yaxis.set_visible(False)
+    ax.set_xticks(range(0, max(len(err_m), 1), 500))
+    for side in ("top", "right", "left", "bottom"):
+        ax.spines[side].set_visible(False)
+    ax.set_aspect("auto")
+    fig.savefig(os.path.join(output, "translation_error_scatter.png"),
+                bbox_inches="tight", pad_inches=0)
     plt.close(fig)
 
 
@@ -184,10 +260,10 @@ def pose_evaluation(gt_c2w, est_c2w, weights=None, plot_path=None,
     if plot_path:
         out_dir = os.path.dirname(plot_path) or "."
         os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(out_dir, "trans_error_data.json"), "w") as f:
-            json.dump({"trans_error_cm": trans_error.tolist()}, f)
-        plot_velocities(gt_c2w, est_c2w,
-                        os.path.join(out_dir, "velocity.png"))
+        vis_trans_error(trans_error, out_dir)
+        w = np.asarray(weights)[mask] if weights is not None else None
+        plot_velocities(gt[mask], est[mask],
+                        os.path.join(out_dir, "velocity.png"), weights=w)
     return trans_error, results
 
 
