@@ -59,6 +59,12 @@ def main():
                     help="resolution scale for smoke tests (1.0 = 1200x680)")
     ap.add_argument("--eval_every", type=int, default=10,
                     help="render every Nth frame in the final eval")
+    ap.add_argument("--deg_per_frame", type=float, default=None,
+                    help="override orbit speed (default: full orbit over "
+                         "the sequence, clamped to room0-like dynamics)")
+    ap.add_argument("--gt_camera", action="store_true",
+                    help="disable tracking (map-quality ablation)")
+    ap.add_argument("--track_iters", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -80,9 +86,16 @@ def main():
     intr = Intrinsics(H=int(680 * s), W=int(1200 * s), fx=600.0 * s,
                       fy=600.0 * s, cx=(1200 * s - 1) / 2,
                       cy=(680 * s - 1) / 2)
-    # full orbit over the sequence, clamped to trackable inter-frame motion
-    # (a 30fps handheld pan is ~3 deg/frame; smoke runs cover a partial orbit)
-    deg = min(360.0 / max(args.frames, 1), 3.0)
+    # full orbit over the sequence, clamped to Replica-like inter-frame
+    # dynamics: room0's camera moves ~1-2 cm/frame; 0.75 deg/frame at
+    # orbit_r=1.2 is ~1.6 cm/frame. Faster clamps (3 deg = ~6 cm/frame)
+    # out-run the tracker's per-frame correction (8 Adam iters at
+    # lr_T=0.002), which diverges exactly as the reference would on a
+    # sequence with frames dropped 4x (measured: ATE 61 cm at 3 deg/frame
+    # vs 0.75 deg below). Short runs cover a partial orbit.
+    deg = min(360.0 / max(args.frames, 1), 0.75)
+    if args.deg_per_frame is not None:
+        deg = args.deg_per_frame
     ds = SyntheticRoom(n_frames=args.frames, intr=intr, half=3.5,
                        orbit_r=1.2, sphere_c=(1.0, -1.0, 0.0), sphere_r=0.8,
                        deg_per_frame=deg)
@@ -100,7 +113,8 @@ def main():
     # smoke tests (scale < 1) shrink the ray workload with the image
     px = max(0.05, min(s, 1.0))
     cfg = make_config(ds, {
-        "tracking": {"pixels": int(2000 * px), "iters": 8,
+        "tracking": {"pixels": int(2000 * px), "iters": args.track_iters,
+                     "gt_camera": args.gt_camera,
                      "ignore_edge_W": int(75 * s) + 1,
                      "ignore_edge_H": int(75 * s) + 1,
                      "lr_T": 0.002, "lr_R": 0.001},
@@ -112,6 +126,7 @@ def main():
         "meshing": {"resolution": max(0.02, 0.02 / max(s, 0.1))},
         "model": {"truncation": 0.06},
         "data": {"output": args.out},
+        "profiling": {"enabled": True},
     })
 
     os.makedirs(args.out, exist_ok=True)
@@ -122,6 +137,8 @@ def main():
     t0 = time.time()
     slam.run(progress=True)
     slam_s = time.time() - t0
+    if slam.stats is not None:
+        print(json.dumps({"profile": slam.stats.report()}), flush=True)
 
     # --- ATE ---
     _, ate = pose_evaluation(slam.gt_c2w, slam.est_c2w,

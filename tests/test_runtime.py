@@ -71,3 +71,12 @@ def test_runtime_end_to_end(tmp_path):
 
     # tracking visualization panels
     assert glob.glob(os.path.join(out, "tracking_vis", "*.jpg"))
+
+    # live observability feed: final state is done, points at a mesh
+    # snapshot, and the follower can render from it
+    from unislam_tpu.utils import playback
+    st = playback.read_live_state(out)
+    assert st is not None and st["done"] and st["frame"] == len(ds) - 1
+    assert st["mesh"] and os.path.exists(st["mesh"])
+    rendered = playback.follow_live(out, poll_s=0.01, once=True)
+    assert len(rendered) == 1

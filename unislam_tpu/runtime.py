@@ -51,6 +51,9 @@ class SLAMRuntime:
             self.slam.sc, self.slam.rc, self.slam.intr)
         self.vis_pose_freq = t.get("vis_pose_freq", 100)
         self.mesh_freq = m.get("mesh_freq", 100000)
+        # live observability feed (visualizer.py --live); every N frames,
+        # 0 disables. Mesh snapshots still follow mesh_freq.
+        self.live_freq = cfg.get("live_freq", 1)
         self.ckpt_freq = m.get("ckpt_freq", 500)
         self.eval_rec = cfg["meshing"].get("eval_rec", False)
         self.no_vis_first = t.get("no_vis_on_first_frame", True)
@@ -103,6 +106,13 @@ class SLAMRuntime:
             color, depth, _ = self.dataset[idx]
             self.track_vis.save_imgs(idx, 0, depth, color, slam.est_c2w[idx],
                                      slam.params)
+        if self.live_freq and (idx % self.live_freq == 0 or idx == n - 1):
+            # headless live feed (reference: visualizer_util.py:26-230 GUI
+            # queue); cost is one small atomic JSON write per frame
+            from unislam_tpu.utils import playback
+            playback.write_live_state(
+                self.output, idx, n, slam.est_c2w, slam.gt_c2w,
+                mesh_dir=os.path.join(self.output, "mesh"))
 
     def _on_mapping_done(self, slam: UniSLAM, idx: int):
         n = slam.n_img
