@@ -98,7 +98,7 @@ def main():
         deg = args.deg_per_frame
     ds = SyntheticRoom(n_frames=args.frames, intr=intr, half=3.5,
                        orbit_r=1.2, sphere_c=(1.0, -1.0, 0.0), sphere_r=0.8,
-                       deg_per_frame=deg)
+                       deg_per_frame=deg, texture="noise")
 
     grid = {"hash_size_sdf": 16, "hash_size_color": 19,
             "voxel_sdf": 0.01, "voxel_color": 0.01}

@@ -52,7 +52,8 @@ class SyntheticRoom:
                  half: float = 1.0, sphere_c=(0.3, -0.4, 0.0),
                  sphere_r: float = 0.25, orbit_r: float = 0.45,
                  seed: int = 0, depth_noise: float = 0.0,
-                 pose_noise: float = 0.0, deg_per_frame: float = 3.0):
+                 pose_noise: float = 0.0, deg_per_frame: float = 3.0,
+                 texture: str = "checker"):
         self.n_frames = n_frames
         self.intr = intr or Intrinsics(H=60, W=80, fx=70.0, fy=70.0,
                                        cx=39.5, cy=29.5)
@@ -66,6 +67,7 @@ class SyntheticRoom:
         # realistic inter-frame motion (~3 deg/frame ~ a 30fps handheld pan);
         # large values break any frame-to-frame tracker
         self.rad_per_frame = np.deg2rad(deg_per_frame)
+        self.texture = texture
         self._dirs = self._camera_dirs()
         self._poses = [self._pose(i) for i in range(n_frames)]
 
@@ -103,8 +105,11 @@ class SyntheticRoom:
         h = self.half
 
         # exit of box interior: for each axis, t to the wall in front
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_walls = np.where(dirs > 0, (h - o) / dirs, (-h - o) / dirs)
+        # (guard exactly-axis-parallel rays: 0-component dirs would divide
+        # to +-inf with sign set by -0.0 vs +0.0 and poison depth with NaN)
+        dirs_safe = np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
+        t_walls = np.where(dirs_safe > 0, (h - o) / dirs_safe,
+                           (-h - o) / dirs_safe)
         t_box = t_walls.min(axis=-1)
         axis = t_walls.argmin(axis=-1)
         sign_pos = np.take_along_axis(dirs, axis[:, None], -1)[:, 0] > 0
@@ -125,12 +130,28 @@ class SyntheticRoom:
         depth = np.where(hit_sph, t_sph, t_box).astype(np.float32)
         color = np.where(hit_sph[:, None], _SPHERE_COLOR[None, :], color)
 
-        # checkerboard texture in world coordinates: without surface texture
-        # the flat walls leave the photometric term with near-ambiguous
-        # minima and any tracker drifts
+        # surface texture in world coordinates: without it the flat walls
+        # leave the photometric term with near-ambiguous minima and any
+        # tracker drifts.
         hit_pts = o + depth[:, None] * dirs
-        checker = (np.floor(hit_pts * 4.0).sum(axis=-1).astype(int) % 2)
-        tex = np.where(checker > 0, 1.0, 0.55)[:, None]
+        if self.texture == "noise":
+            # Non-periodic multi-octave texture: a 25 cm checker is
+            # self-similar under one-period translations parallel to a wall
+            # (depth does not constrain that direction), and long runs lock
+            # onto aliased minima exactly one or two periods off (measured:
+            # 0.5 m plateau = 2 periods on the room0-scale orbit). Summed
+            # incommensurate sinusoids have a unique photometric minimum at
+            # every scale, like real indoor texture.
+            t = np.zeros(len(hit_pts), dtype=np.float32)
+            for amp, freq in ((1.0, 2.3), (0.6, 6.1), (0.35, 15.7)):
+                fx_ = np.array([freq, freq * 1.371, freq * 0.773],
+                               np.float32)
+                t += amp * (np.sin(hit_pts @ fx_ + 0.7 * freq)
+                            * np.cos(hit_pts @ fx_[::-1] - 1.3 * freq))
+            tex = (0.775 + 0.225 * np.tanh(1.2 * t))[:, None]
+        else:
+            checker = (np.floor(hit_pts * 4.0).sum(axis=-1).astype(int) % 2)
+            tex = np.where(checker > 0, 1.0, 0.55)[:, None]
         # simple lambert-ish shading by depth for visual variety
         shade = (1.0 / (1.0 + 0.15 * depth))[:, None]
         color = np.clip(color * tex * shade, 0.0, 1.0).astype(np.float32)

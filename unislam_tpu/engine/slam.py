@@ -173,7 +173,7 @@ class UniSLAM:
 
         # whole-frame tracking in one fused device dispatch
         best7, min_loss, unc_prev, unc_last = self.track_frame_fn(
-            self.params, pose, opt_state, depth_img, color_img,
+            self._tracking_params(), pose, opt_state, depth_img, color_img,
             self._next_key(), jnp.int32(self.t_iters))
 
         # penultimate-iteration uncertainty drives activated mapping
@@ -258,11 +258,27 @@ class UniSLAM:
         if joint_opt:
             poses = opt_tree["poses"]
             self.bank = self.bank._replace(pose7=poses[:self.max_kf])
-            self.est_c2w[idx] = np.asarray(
-                pose_lib.cam_pose_to_matrix(poses[self.max_kf][None])[0])
+            self._writeback_ba_pose(idx, poses[self.max_kf])
         self.mapping_cnt += 1
         self.init_phase = False
+        return self._finish_loss(loss)
+
+    def _writeback_ba_pose(self, idx: int, pose7):
+        """Record the BA-refined current-frame pose in the trajectory.
+        The overlapped driver (engine/overlap.py) defers this device fetch
+        so Python never blocks on an in-flight mapping phase."""
+        self.est_c2w[idx] = np.asarray(
+            pose_lib.cam_pose_to_matrix(pose7[None])[0])
+
+    def _finish_loss(self, loss):
+        """Materialize the mapping loss (deferred by the overlapped driver)."""
         return float(loss)
+
+    def _tracking_params(self):
+        """Scene params the tracker optimizes against. The overlapped driver
+        returns a snapshot lagging by up to `every_frame` frames — the
+        reference's documented tracker lag (Tracker.py:297-300)."""
+        return self.params
 
     # ------------------------------------------------------------------
     def _evict_slot(self) -> int:

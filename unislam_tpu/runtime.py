@@ -38,7 +38,23 @@ class SLAMRuntime:
             dataset = _Truncated(dataset, n_frames)
         self.dataset = dataset
 
-        self.slam = UniSLAM(cfg, dataset, output=self.output, seed=seed)
+        overlap = cfg.get("parallel", {}).get("overlap", False)
+        if overlap:
+            import jax
+            if len(jax.devices()) >= 2:
+                from unislam_tpu.engine.overlap import OverlappedSLAM
+                self.slam = OverlappedSLAM(cfg, dataset, output=self.output,
+                                           seed=seed)
+                print(f"INFO: overlapped driver — tracking on "
+                      f"{self.slam.track_device}, mapping on "
+                      f"{self.slam.map_mesh or self.slam._map_placement}")
+            else:
+                print("INFO: parallel.overlap requested but only one device "
+                      "is visible; using the sequential driver")
+                self.slam = UniSLAM(cfg, dataset, output=self.output,
+                                    seed=seed)
+        else:
+            self.slam = UniSLAM(cfg, dataset, output=self.output, seed=seed)
         self.logger = Logger(self.slam, os.path.join(self.output, "ckpts"))
         self.mesher = Mesher(cfg, self.slam.sc, self.slam.intr)
 
@@ -84,6 +100,9 @@ class SLAMRuntime:
     def _on_frame_done(self, slam: UniSLAM, idx: int):
         n = slam.n_img
         if idx > 0 and (idx % self.vis_pose_freq == 0 or idx == n - 1):
+            # the overlapped driver defers BA pose write-backs; land them
+            # before reading the trajectory
+            getattr(slam, "sync", lambda: None)()
             plot_path = os.path.join(self.output, "pose_vis",
                                      f"pose_{idx}.png")
             _, results = eval_ate.pose_evaluation(
@@ -134,6 +153,7 @@ class SLAMRuntime:
         from unislam_tpu.tools.eval_recon import eval_rendering
 
         slam = self.slam
+        getattr(slam, "sync", lambda: None)()
         if slam.stats is not None:
             print(slam.stats.summary())
             with open(os.path.join(self.output, "output.txt"), "a") as f:
