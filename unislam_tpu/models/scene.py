@@ -47,6 +47,9 @@ class SceneConfig:
     beta_init: float = 10.0
     encoding: str = "hash"
     brick_spec: BrickSpec | None = None
+    # "vanilla" (biased f32 MLPs) or "fused" (the reference's
+    # tcnn_network=True FullyFusedMLP path: bias-free, bf16 compute)
+    mlp_variant: str = "vanilla"
 
     @property
     def bound_min(self) -> np.ndarray:
@@ -108,29 +111,33 @@ def make_scene_config(cfg: Dict[str, Any]) -> SceneConfig:
         learnable_beta=bool(cfg["rendering"].get("learnable_beta", True)),
         encoding=encoding,
         brick_spec=brick_spec,
+        mlp_variant=("fused" if cfg["grid"].get("tcnn_network", False)
+                     else "vanilla"),
     )
 
 
 def init_params(key: jax.Array, sc: SceneConfig) -> Dict[str, Any]:
     """Initialize the full scene parameter pytree."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    init_dec = (decoders.init_fused_mlp if sc.mlp_variant == "fused"
+                else decoders.init_mlp)
     if sc.encoding == "brick":
         feat_dim = sc.brick_spec.out_dim
         return {
             "table": brick_encoding.init_table(k1, sc.brick_spec),
-            "sdf_mlp": decoders.init_mlp(k3, feat_dim, sc.hidden_size, 1,
-                                         sc.n_blocks),
-            "color_mlp": decoders.init_mlp(k4, feat_dim, sc.hidden_size, 3,
-                                           sc.n_blocks),
+            "sdf_mlp": init_dec(k3, feat_dim, sc.hidden_size, 1,
+                                sc.n_blocks),
+            "color_mlp": init_dec(k4, feat_dim, sc.hidden_size, 3,
+                                  sc.n_blocks),
             "beta": jnp.full((1,), sc.beta_init, dtype=jnp.float32),
         }
     return {
         "sdf_table": hash_encoding.init_table(k1, sc.sdf_spec),
         "color_table": hash_encoding.init_table(k2, sc.color_spec),
-        "sdf_mlp": decoders.init_mlp(k3, sc.sdf_spec.out_dim, sc.hidden_size,
-                                     1, sc.n_blocks),
-        "color_mlp": decoders.init_mlp(k4, sc.color_spec.out_dim,
-                                       sc.hidden_size, 3, sc.n_blocks),
+        "sdf_mlp": init_dec(k3, sc.sdf_spec.out_dim, sc.hidden_size,
+                            1, sc.n_blocks),
+        "color_mlp": init_dec(k4, sc.color_spec.out_dim,
+                              sc.hidden_size, 3, sc.n_blocks),
         "beta": jnp.full((1,), sc.beta_init, dtype=jnp.float32),
     }
 
