@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--gt_camera", action="store_true",
                     help="disable tracking (map-quality ablation)")
     ap.add_argument("--track_iters", type=int, default=8)
+    ap.add_argument("--n_fine", type=int, default=12,
+                    help="surface-LOD samples for brick mode (0 = all "
+                         "levels on all samples)")
     args = ap.parse_args()
 
     import jax
@@ -108,7 +111,7 @@ def main():
                      "brick_base_res": 20, "brick_features": 8,
                      "brick_hash_size": 16, "brick_matmul_rows": 1024,
                      "brick_matmul_hashed": 1})
-        rendering["n_fine"] = 12
+        rendering["n_fine"] = args.n_fine
 
     # smoke tests (scale < 1) shrink the ray workload with the image
     px = max(0.05, min(s, 1.0))
