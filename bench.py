@@ -119,15 +119,16 @@ def main():
     extra_j = jnp.asarray(extra, jnp.float32)
     pg_j = jnp.asarray(pg)
     m_iters_j = jnp.int32(m_iters)
+    lr1 = jnp.float32(1.0)
     ot, ms, ml = slam.map_phase(opt_tree, mstate, slam.bank, depth, color,
                                 slam.cam_rays_d, probs_j, extra_j, pg_j,
-                                slam._next_key(), m_iters_j)
+                                slam._next_key(), m_iters_j, lr1)
     ml.block_until_ready()
     t0 = time.time()
     for _ in range(reps):
         ot, ms, ml = slam.map_phase(ot, ms, slam.bank, depth, color,
                                     slam.cam_rays_d, probs_j, extra_j, pg_j,
-                                    slam._next_key(), m_iters_j)
+                                    slam._next_key(), m_iters_j, lr1)
     ml.block_until_ready()
     map_time = time.time() - t0
     map_ray_count = reps * m_iters * map_rays

@@ -81,35 +81,29 @@ def main():
 
     # rebuild the internal pieces of the mapping step for staged timing
     from unislam_tpu.engine import mapper as mapper_lib
-    mk = mapper_lib.make_mapping_step(slam.sc, slam.rc, slam.mc, slam.intr,
-                                      slam.max_kf, slam.bank_size)
-    # reach the closure's loss_fn by rebuilding it here (same code path)
-    import types
-    # instead: time the public pieces
-    step, opt, phase = mk(1.0)
+    step, opt, phase = mapper_lib.make_mapping_step(
+        slam.sc, slam.rc, slam.mc, slam.intr, slam.max_kf, slam.bank_size)
 
     # (a) single step (1 dispatch per iter)
     mstate = opt.init(opt_tree)
     t, _ = timeit(step, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg_j, key)
+                  slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.float32(1.0))
     print(f"map single step          {t * 1e3:8.2f} ms")
 
     # (b) fused phase, n=1
     t, _ = timeit(phase, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.int32(1))
+                  slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.int32(1), jnp.float32(1.0))
     print(f"map phase n=1            {t * 1e3:8.2f} ms")
 
     # (c) fused phase, n=15 (per-iter)
     t, _ = timeit(phase, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.int32(15),
-                  reps=4)
+                  slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.int32(15), jnp.float32(1.0),reps=4)
     print(f"map phase n=15 per-iter  {t / 15 * 1e3:8.2f} ms")
 
     # (d) no-BA variant: pose grads off
     pg0 = jnp.zeros_like(pg_j)
     t, _ = timeit(phase, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg0, key, jnp.int32(15),
-                  reps=4)
+                  slam.cam_rays_d, probs_j, extra_j, pg0, key, jnp.int32(15), jnp.float32(1.0),reps=4)
     print(f"map phase no-BA per-iter {t / 15 * 1e3:8.2f} ms")
 
     # (e) tracking per-iter

@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--n_fine", type=int, default=12,
                     help="surface-LOD samples for brick mode (0 = all "
                          "levels on all samples)")
+    ap.add_argument("--grid_json", default=None,
+                    help="JSON dict merged into the grid config section "
+                         '(ablations), e.g. \'{"brick_levels": 4}\'')
+    ap.add_argument("--track_json", default=None,
+                    help="JSON dict merged into the tracking config section")
     args = ap.parse_args()
 
     import jax
@@ -112,15 +117,20 @@ def main():
                      "brick_hash_size": 16, "brick_matmul_rows": 1024,
                      "brick_matmul_hashed": 1})
         rendering["n_fine"] = args.n_fine
+    if args.grid_json:
+        grid.update(json.loads(args.grid_json))
 
     # smoke tests (scale < 1) shrink the ray workload with the image
     px = max(0.05, min(s, 1.0))
+    tracking = {"pixels": int(2000 * px), "iters": args.track_iters,
+                "gt_camera": args.gt_camera,
+                "ignore_edge_W": int(75 * s) + 1,
+                "ignore_edge_H": int(75 * s) + 1,
+                "lr_T": 0.002, "lr_R": 0.001}
+    if args.track_json:
+        tracking.update(json.loads(args.track_json))
     cfg = make_config(ds, {
-        "tracking": {"pixels": int(2000 * px), "iters": args.track_iters,
-                     "gt_camera": args.gt_camera,
-                     "ignore_edge_W": int(75 * s) + 1,
-                     "ignore_edge_H": int(75 * s) + 1,
-                     "lr_T": 0.002, "lr_R": 0.001},
+        "tracking": tracking,
         "mapping": {"pixels": int(4000 * px), "iters": 15, "iters_first": 25,
                     "every_frame": 4, "keyframe_every": 4},
         "rendering": rendering,

@@ -119,9 +119,9 @@ def main():
         per = max(1, args.rays // n_dev)
         mc = mapper_lib.MapperConfig(pixels=per * n_dev, iters=1,
                                      extra_rays=n_dev * 8)
-        make_step = mapper_lib.make_mapping_step(sc, rc, mc, intr, max_kf,
-                                                 bank_size, mesh=mesh)
-        step, opt = make_step(1.0)[:2]
+        step, opt, _ = mapper_lib.make_mapping_step(sc, rc, mc, intr,
+                                                    max_kf, bank_size,
+                                                    mesh=mesh)
 
         params = scene_lib.init_params(jax.random.PRNGKey(0), sc)
         shardings = sh.scene_param_shardings(mesh, params)
@@ -161,7 +161,7 @@ def main():
                 from unislam_tpu.parallel import distributed as dist
                 key = dist.replicate(mesh, key)
             return step(opt_tree, opt_state, bank, depth, color, rays_d,
-                        probs_j, probs_j, pg_j, key)
+                        probs_j, probs_j, pg_j, key, jnp.float32(1.0))
 
         key = jax.random.PRNGKey(7)
         opt_tree, opt_state, loss = one(opt_tree, opt_state, key)

@@ -44,7 +44,7 @@ def main():
     opt_tree, opt_state, loss = p.step(
         rep(p.opt_tree), rep(p.opt_state), rep(p.bank), rep(p.depth),
         rep(p.color), rep(p.rays_d), rep(p.probs), rep(p.extra_probs),
-        rep(p.pose_grad_mask), rep(key))
+        rep(p.pose_grad_mask), rep(key), rep(jnp.float32(1.0)))
     loss_val = float(dist.fetch_replicated(loss))
 
     if my_pid == 0:

@@ -55,9 +55,8 @@ def _setup(encoding="hash"):
 def _run_step(mesh, intr, sc, rc, params, bank, depth, color, rays_d,
               max_kf, bank_size):
     mc = mapper_lib.MapperConfig(pixels=240, iters=1, extra_rays=16)
-    make_step = mapper_lib.make_mapping_step(sc, rc, mc, intr, max_kf,
-                                             bank_size, mesh=mesh)
-    step, opt = make_step(1.0)[:2]
+    step, opt, _ = mapper_lib.make_mapping_step(sc, rc, mc, intr, max_kf,
+                                                bank_size, mesh=mesh)
     if mesh is not None:
         shardings = sh.scene_param_shardings(mesh, params)
         params = jax.tree_util.tree_map(jax.device_put, params, shardings)
@@ -72,7 +71,7 @@ def _run_step(mesh, intr, sc, rc, params, bank, depth, color, rays_d,
     opt_tree, opt_state, loss = step(
         opt_tree, opt_state, bank, depth, color, rays_d,
         jnp.asarray(probs), jnp.asarray(probs), jnp.asarray(pg),
-        jax.random.PRNGKey(3))
+        jax.random.PRNGKey(3), jnp.float32(1.0))
     return opt_tree, float(loss)
 
 

@@ -80,11 +80,16 @@ def from_cfg(cfg) -> MapperConfig:
     )
 
 
-def make_optimizer(mc: MapperConfig, lr_factor: float):
+def make_optimizer(mc: MapperConfig, lr_factor: float = 1.0):
     """Per-group Adam mirroring Mapper.create_optimizer (Mapper.py:111-139):
     decoders (incl. beta), grid tables, and BA poses. Labels are derived
     from the opt_tree structure so both encodings (separate sdf/color hash
-    tables, or one shared brick table) get the right groups."""
+    tables, or one shared brick table) get the right groups.
+
+    `lr_factor` bakes a static scene-group LR multiplier into the optimizer
+    (kept for tests/tools); the jitted phases instead take a *runtime*
+    `lr_scale` (see make_mapping_step) so the reference's first-frame x5
+    factor (Mapper.py:512-516) doesn't need a second compiled program."""
 
     def label_fn(opt_tree):
         def scene_label(key):
@@ -195,54 +200,66 @@ def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
     """Build the jitted mapping step.
 
     step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
-         sel_probs, extra_probs, pose_grad_mask, key)
+         sel_probs, extra_probs, pose_grad_mask, key, lr_scale)
       -> (opt_tree', opt_state', loss)
 
     opt_tree = {"scene": scene params, "poses": (max_kf+1, 7)} where slot
     max_kf is the current frame's pose. sel_probs/extra_probs: (max_kf+1,)
     frame-slot sampling distributions. pose_grad_mask: (max_kf+1, 1) with 1
     where BA may move the pose.
+
+    `lr_scale` is a RUNTIME scalar multiplying the scene-group updates
+    (Adam's update is linear in its LR, so update*s == adam(lr*s) exactly,
+    state included). The reference's first-mapping x5 LR factor
+    (Mapper.py:512-516) previously forced a second compiled copy of the
+    whole phase — on the axon-tunneled TPU each copy costs minutes of
+    remote compile. Pose updates are deliberately NOT scaled (the reference
+    never scales joint_opt_cam_lr).
     """
     loss_fn = make_loss_fn(sc, rc, mc, intr, max_kf, bank_size, mesh)
+    opt = make_optimizer(mc)
 
-    def make_step(lr_factor: float):
-        opt = make_optimizer(mc, lr_factor)
+    def _scaled(updates, lr_scale):
+        return {
+            "scene": jax.tree_util.tree_map(lambda u: u * lr_scale,
+                                            updates["scene"]),
+            "poses": updates["poses"],
+        }
 
-        @jax.jit
-        def step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
-                 sel_probs, extra_probs, pose_grad_mask, key):
+    @jax.jit
+    def step(opt_tree, opt_state, bank, cur_depth, cur_color, cur_rays_d,
+             sel_probs, extra_probs, pose_grad_mask, key, lr_scale):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            opt_tree, bank, cur_depth, cur_color, cur_rays_d, sel_probs,
+            extra_probs, pose_grad_mask, key)
+        updates, opt_state = opt.update(grads, opt_state, opt_tree)
+        opt_tree = optax.apply_updates(opt_tree, _scaled(updates, lr_scale))
+        return opt_tree, opt_state, loss
+
+    # opt_tree/opt_state are donated: the driver always rebinds them, and
+    # donation lets XLA update the ~60 MB table + 120 MB Adam state in
+    # place instead of copying per phase dispatch.
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def map_phase(opt_tree, opt_state, bank, cur_depth, cur_color,
+                  cur_rays_d, sel_probs, extra_probs, pose_grad_mask, key,
+                  n_iters, lr_scale):
+        """Whole mapping phase in ONE device dispatch: `n_iters`
+        (dynamic, lax.fori_loop) Adam iterations over the window batch
+        (the reference's joint_iter loop, Mapper.py:366-445)."""
+
+        def body(i, carry):
+            opt_tree, opt_state, _ = carry
+            it_key = jax.random.fold_in(key, i)
             loss, grads = jax.value_and_grad(loss_fn)(
-                opt_tree, bank, cur_depth, cur_color, cur_rays_d, sel_probs,
-                extra_probs, pose_grad_mask, key)
+                opt_tree, bank, cur_depth, cur_color, cur_rays_d,
+                sel_probs, extra_probs, pose_grad_mask, it_key)
             updates, opt_state = opt.update(grads, opt_state, opt_tree)
-            opt_tree = optax.apply_updates(opt_tree, updates)
-            return opt_tree, opt_state, loss
+            opt_tree = optax.apply_updates(opt_tree,
+                                           _scaled(updates, lr_scale))
+            return (opt_tree, opt_state, loss)
 
-        # opt_tree/opt_state are donated: the driver always rebinds them, and
-        # donation lets XLA update the ~60 MB table + 120 MB Adam state in
-        # place instead of copying per phase dispatch.
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def map_phase(opt_tree, opt_state, bank, cur_depth, cur_color,
-                      cur_rays_d, sel_probs, extra_probs, pose_grad_mask, key,
-                      n_iters):
-            """Whole mapping phase in ONE device dispatch: `n_iters`
-            (dynamic, lax.fori_loop) Adam iterations over the window batch
-            (the reference's joint_iter loop, Mapper.py:366-445)."""
+        opt_tree, opt_state, loss = jax.lax.fori_loop(
+            0, n_iters, body, (opt_tree, opt_state, jnp.float32(0.0)))
+        return opt_tree, opt_state, loss
 
-            def body(i, carry):
-                opt_tree, opt_state, _ = carry
-                it_key = jax.random.fold_in(key, i)
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    opt_tree, bank, cur_depth, cur_color, cur_rays_d,
-                    sel_probs, extra_probs, pose_grad_mask, it_key)
-                updates, opt_state = opt.update(grads, opt_state, opt_tree)
-                opt_tree = optax.apply_updates(opt_tree, updates)
-                return (opt_tree, opt_state, loss)
-
-            opt_tree, opt_state, loss = jax.lax.fori_loop(
-                0, n_iters, body, (opt_tree, opt_state, jnp.float32(0.0)))
-            return opt_tree, opt_state, loss
-
-        return step, opt, map_phase
-
-    return make_step
+    return step, opt, map_phase

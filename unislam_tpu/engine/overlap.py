@@ -76,13 +76,10 @@ class OverlappedSLAM(UniSLAM):
             # leftover chips form a ray-sharded mapping sub-mesh: per-ray
             # arrays split over ICI, table/MLP grads all-reduced by XLA
             self.map_mesh = sharding_lib.make_mesh(devices=map_devs)
-            mk = mapper_lib.make_mapping_step(
-                self.sc, self.rc, self.mc, self.intr, self.max_kf,
-                self.bank_size, mesh=self.map_mesh)
-            self.map_step_first, self.map_opt_first, self.map_phase_first = \
-                mk(self.mc.lr_first_factor)
             self.map_step, self.map_opt, self.map_phase = \
-                mk(self.mc.lr_factor)
+                mapper_lib.make_mapping_step(
+                    self.sc, self.rc, self.mc, self.intr, self.max_kf,
+                    self.bank_size, mesh=self.map_mesh)
             self._map_placement = sharding_lib.replicated(self.map_mesh)
         else:
             self.map_mesh = None

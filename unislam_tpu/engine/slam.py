@@ -83,6 +83,12 @@ class UniSLAM:
                                n_importance=r["n_importance"],
                                perturb=bool(r.get("perturb", True)),
                                n_fine=int(r.get("n_fine", 0)))
+        # tracking may query the map at a different LOD than mapping
+        # (tracking.n_fine: -1 = coarse levels only, 0 = full ladder,
+        # >0 = surface-LOD band); default: same as rendering.n_fine
+        t_nf = cfg["tracking"].get("n_fine", None)
+        self.rc_track = (self.rc if t_nf is None
+                         else self.rc._replace(n_fine=int(t_nf)))
         self.tc = tracker_lib.from_cfg(cfg)
         self.mc = mapper_lib.from_cfg(cfg)
 
@@ -104,14 +110,12 @@ class UniSLAM:
 
         # jitted steps (single-iteration + fused whole-frame variants)
         self.track_step, self.track_opt, self.track_frame_fn = \
-            tracker_lib.make_tracking_step(self.sc, self.rc, self.tc,
+            tracker_lib.make_tracking_step(self.sc, self.rc_track, self.tc,
                                            self.intr)
-        mk = mapper_lib.make_mapping_step(self.sc, self.rc, self.mc,
-                                          self.intr, self.max_kf,
-                                          self.bank_size)
-        self.map_step_first, self.map_opt_first, self.map_phase_first = \
-            mk(self.mc.lr_first_factor)
-        self.map_step, self.map_opt, self.map_phase = mk(self.mc.lr_factor)
+        self.map_step, self.map_opt, self.map_phase = \
+            mapper_lib.make_mapping_step(self.sc, self.rc, self.mc,
+                                         self.intr, self.max_kf,
+                                         self.bank_size)
         self.select_fn = selection_lib.make_selection_fn(
             self.intr, self.max_kf,
             lc_enabled=bool(cfg["mapping"].get("LC", True)),
@@ -240,19 +244,20 @@ class UniSLAM:
                                      axis=0),
         }
         first = self.init_phase
-        phase = self.map_phase_first if first else self.map_phase
-        opt = self.map_opt_first if first else self.map_opt
         iters = self.mc.iters_first if first else self.m_iters
-        opt_state = opt.init(opt_tree)
+        lr_scale = self.mc.lr_first_factor if first else self.mc.lr_factor
+        opt_state = self.map_opt.init(opt_tree)
 
         probs_j = jnp.asarray(probs, jnp.float32)
         extra_j = jnp.asarray(extra, jnp.float32)
         mask_j = jnp.asarray(pose_grad_mask)
-        # whole mapping phase in one fused device dispatch
-        opt_tree, opt_state, loss = phase(
+        # whole mapping phase in one fused device dispatch; the first
+        # phase's x5 LR factor rides the runtime lr_scale argument (one
+        # compiled program for both, see make_mapping_step)
+        opt_tree, opt_state, loss = self.map_phase(
             opt_tree, opt_state, self.bank, depth_img, color_img,
             self.cam_rays_d, probs_j, extra_j, mask_j, self._next_key(),
-            jnp.int32(iters))
+            jnp.int32(iters), jnp.float32(lr_scale))
 
         self.params = opt_tree["scene"]
         if joint_opt:

@@ -159,11 +159,24 @@ def all_levels(spec: BrickSpec) -> tuple:
 
 
 def coarse_fine_split(spec: BrickSpec) -> tuple:
-    """(coarse, fine) level index tuples: fine = spatially-hashed levels (the
-    per-row-cost-bound ones, BENCHLOG.md), coarse = dense/matmul levels.
-    Used by the surface-LOD query path (scene.query_lod)."""
-    fine = tuple(int(l) for l in range(spec.n_levels) if spec.hashed[l])
-    coarse = tuple(int(l) for l in range(spec.n_levels) if not spec.hashed[l])
+    """(coarse, fine) level index tuples for the surface-LOD query path
+    (scene.query_lod).
+
+    The split is COST-based, not hash-based: "fine" = levels served by
+    per-row gather/scatter (the ~9-44 ns/row-bound ones, BENCHLOG.md), which
+    LOD restricts to the surface band; "coarse" = dense AND matmul-hashed
+    levels, whose one-hot MXU lookup is cheap at any sample count, queried
+    everywhere. Gating a matmul level would buy almost no speed and was
+    measured to cost tracking accuracy badly (BENCHLOG.md round 3: with the
+    res-128 matmul level gated, the off-band field every wrong-pose
+    hypothesis reads is the res-20 grid alone — ATE-RMSE 11.1 cm vs 0.3 cm
+    ungated on the room0-scale drive)."""
+    matmul_flags = (spec.matmul if spec.matmul is not None
+                    else np.zeros(spec.n_levels, bool))
+    fine = tuple(int(l) for l in range(spec.n_levels)
+                 if spec.hashed[l] and not matmul_flags[l])
+    coarse = tuple(int(l) for l in range(spec.n_levels)
+                   if not spec.hashed[l] or matmul_flags[l])
     return coarse, fine
 
 

@@ -255,5 +255,27 @@ def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
     return jnp.concatenate([rgb, sdf[..., None]], axis=-1).reshape(R, S, 4)
 
 
+def query_coarse(params: Dict[str, Any], sc: SceneConfig,
+                 p_nor: jnp.ndarray) -> jnp.ndarray:
+    """Coarse-levels-only joint query (brick mode) -> (N, 4) [r, g, b, sdf].
+
+    The hashed fine levels are skipped entirely and their feature columns
+    zero-filled, so the decoders see the map low-pass filtered at the
+    coarse ladder's resolution. Used for coarse-to-fine camera tracking:
+    the fine levels' spatially-hashed content is only trained inside the
+    mapped surface band, so a wrong pose hypothesis reads collision noise
+    exactly where the tracking loss is most sensitive; the coarse field is
+    dense, trained everywhere, and gives a wide smooth basin for the pose
+    gradient (RenderConfig.n_fine = -1)."""
+    assert sc.encoding == "brick"
+    spec = sc.brick_spec
+    coarse, _ = brick_encoding.coarse_fine_split(spec)
+    feat = brick_encoding.encode(params["table"], p_nor, spec, coarse)
+    feat = _zero_fill_levels(feat, spec, tuple(coarse))
+    sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
+    rgb = decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
+    return jnp.concatenate([rgb, sdf[..., None]], axis=-1)
+
+
 def beta_value(params: Dict[str, Any], sc: SceneConfig) -> jnp.ndarray:
     return params["beta"][0] if sc.learnable_beta else jnp.float32(sc.beta_init)

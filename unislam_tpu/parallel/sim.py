@@ -70,9 +70,8 @@ def build_tiny_mapping_problem(mesh=None, n_rays_base: int = 240,
                                  extra_rays=n_dev * 8)
     max_kf, bank_size = 4, 64
 
-    make_step = mapper_lib.make_mapping_step(sc, rc, mc, intr, max_kf,
-                                             bank_size, mesh=mesh)
-    step, opt = make_step(1.0)[:2]
+    step, opt, _ = mapper_lib.make_mapping_step(sc, rc, mc, intr, max_kf,
+                                                bank_size, mesh=mesh)
 
     if mesh is not None:
         shardings = sh.scene_param_shardings(mesh, params,
@@ -111,7 +110,8 @@ def run_tiny_step(p: TinyProblem, key=None):
     if key is None:
         key = jax.random.PRNGKey(3)
     return p.step(p.opt_tree, p.opt_state, p.bank, p.depth, p.color,
-                  p.rays_d, p.probs, p.extra_probs, p.pose_grad_mask, key)
+                  p.rays_d, p.probs, p.extra_probs, p.pose_grad_mask, key,
+                  jnp.float32(1.0))
 
 
 def param_checksums(opt_tree) -> dict:

@@ -36,7 +36,8 @@ class RenderConfig(NamedTuple):
     ray_batch_size: int = 10000
     # Surface-LOD (brick encoding only): query the hashed fine levels for
     # only the n_fine samples per ray nearest the (sensor or probe) depth;
-    # 0 disables (all levels on all samples). See scene.query_lod.
+    # 0 disables (all levels on all samples); -1 queries COARSE LEVELS ONLY
+    # (no fine anywhere — coarse-to-fine tracking, see scene.query_coarse).
     n_fine: int = 0
 
 
@@ -98,8 +99,9 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
 
     use_lod = (rc.n_fine > 0 and rc.n_fine < n_total
                and sc.encoding == "brick")
+    coarse_only = rc.n_fine < 0 and sc.encoding == "brick"
     probe_levels = None
-    if use_lod:
+    if use_lod or coarse_only:
         from unislam_tpu.models import brick_encoding
         probe_levels, _ = brick_encoding.coarse_fine_split(sc.brick_spec)
 
@@ -151,6 +153,9 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
         raw = scene_lib.query_lod(
             params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
             sel_onehot)
+    elif coarse_only:
+        raw = scene_lib.query_coarse(params, sc, p_nor).reshape(
+            z_vals.shape[0], n_total, 4)
     else:
         raw = scene_lib.query(params, sc, p_nor).reshape(
             z_vals.shape[0], n_total, 4)
