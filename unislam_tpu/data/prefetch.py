@@ -45,6 +45,17 @@ class FramePrefetcher:
             return fut.result()
         return self._ds[idx]
 
+    def try_get(self, idx: int):
+        """Non-blocking: the decoded frame if its prefetch already finished,
+        else None. Lets the driver stage the NEXT frame's host->device
+        transfer asynchronously (jax dispatches device_put without waiting)
+        while the chip still works on the current frame."""
+        fut = self._pending.get(idx)
+        if fut is not None and fut.done():
+            self._pending.pop(idx)
+            return fut.result()
+        return None
+
     def __getattr__(self, name):
         # transparent proxy for dataset attributes (intrinsics, paths, ...)
         return getattr(self._ds, name)

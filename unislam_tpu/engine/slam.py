@@ -73,6 +73,7 @@ class UniSLAM:
             self._frames = FramePrefetcher(dataset)
         else:
             self._frames = dataset
+        self._staged_frame = None  # (idx, color_dev, depth_dev, gt) or None
         self.verbose = cfg.get("verbose", False)
         self.output = output or cfg.get("data", {}).get("output", "output/run")
 
@@ -156,9 +157,30 @@ class UniSLAM:
         return sub
 
     def _frame(self, idx: int):
-        color, depth, gt_c2w = self._frames[idx]
-        return (jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32),
-                np.asarray(gt_c2w, np.float32))
+        if self._staged_frame is not None and self._staged_frame[0] == idx:
+            _, color_j, depth_j, gt = self._staged_frame
+            self._staged_frame = None
+        else:
+            color, depth, gt_c2w = self._frames[idx]
+            color_j = jnp.asarray(color, jnp.float32)
+            depth_j = jnp.asarray(depth, jnp.float32)
+            gt = np.asarray(gt_c2w, np.float32)
+        # stage the NEXT frame's ~13 MB host->device transfer now if its
+        # decode already finished: jnp.asarray dispatches the copy
+        # asynchronously, so it rides along the frame's compute instead of
+        # sitting on the next step's critical path (the device-side half of
+        # the reference's pin_memory + non_blocking copies,
+        # /root/reference/src/Tracker.py:288-290)
+        try_get = getattr(self._frames, "try_get", None)
+        if try_get is not None and self._staged_frame is None:
+            nxt = try_get(idx + 1)
+            if nxt is not None:
+                c, d, g = nxt
+                self._staged_frame = (idx + 1,
+                                      jnp.asarray(c, jnp.float32),
+                                      jnp.asarray(d, jnp.float32),
+                                      np.asarray(g, np.float32))
+        return color_j, depth_j, gt
 
     # ------------------------------------------------------------------
     def track_frame(self, idx: int, depth_img, color_img) -> np.ndarray:

@@ -59,6 +59,15 @@ class Mesher:
         self._query = jax.jit(
             lambda params, pts: scene_lib.query(
                 params, sc, scene_lib.normalize_points(sc, pts)))
+        # SDF-only probe for the dense grid pass: the color head is only
+        # needed at the final mesh vertices, and in hash mode the color
+        # field has its own (larger) encoder — querying it over the full
+        # 10^7-point grid roughly doubles meshing time for nothing
+        # (reference has the same split: eval_points color flag,
+        # /root/reference/src/utils/Mesher.py:134-166)
+        self._query_sdf = jax.jit(
+            lambda params, pts: scene_lib.raw_sdf(
+                params, sc, scene_lib.normalize_points(sc, pts)))
 
     # ------------------------------------------------------------------
     def grid_axes(self):
@@ -71,23 +80,28 @@ class Mesher:
             axes.append(np.linspace(b[d][0] - pad, b[d][1] + pad, n))
         return axes
 
-    def eval_points(self, pts: np.ndarray, params) -> np.ndarray:
-        """(N, 3) -> (N, 4) [r, g, b, sdf] with out-of-bound sdf = -1."""
+    def eval_points(self, pts: np.ndarray, params,
+                    sdf_only: bool = False) -> np.ndarray:
+        """(N, 3) -> (N, 4) [r, g, b, sdf] (or (N,) sdf when `sdf_only`)
+        with out-of-bound sdf = -1."""
         bound = self.sc.bound
-        out = np.empty((len(pts), 4), dtype=np.float32)
+        width = 1 if sdf_only else 4
+        out = np.empty((len(pts), width), dtype=np.float32)
         bs = self.points_batch_size
+        fn = self._query_sdf if sdf_only else self._query
         for i in range(0, len(pts), bs):
             chunk = pts[i:i + bs].astype(np.float32)
             n = len(chunk)
             if n < bs:  # pad to the fixed jit shape
                 chunk = np.concatenate(
                     [chunk, np.zeros((bs - n, 3), np.float32)])
-            ret = np.array(self._query(params, jnp.asarray(chunk)))[:n]
+            ret = np.array(fn(params, jnp.asarray(chunk)))[:n]
+            ret = ret.reshape(n, width)
             inside = ((chunk[:n] > bound[:, 0]) &
                       (chunk[:n] < bound[:, 1])).all(axis=1)
-            ret[~inside, 3] = -1.0
+            ret[~inside, width - 1] = -1.0
             out[i:i + n] = ret
-        return out
+        return out[:, 0] if sdf_only else out
 
     def scene_bound_from_bank(self, bank, subsample: int = 97) -> Optional[SceneBound]:
         """Hull of back-projected keyframe bank depths + camera centers."""
@@ -121,7 +135,7 @@ class Mesher:
         X, Y, Z = np.meshgrid(*axes, indexing="ij")
         pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
 
-        sdf = self.eval_points(pts, params)[:, 3].reshape(nx, ny, nz)
+        sdf = self.eval_points(pts, params, sdf_only=True).reshape(nx, ny, nz)
         if not ((sdf > self.level_set).any() and (sdf < self.level_set).any()):
             print("marching: no surface crossing at the level set")
             return None

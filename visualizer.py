@@ -14,9 +14,14 @@ three modes:
   --live       follow a RUNNING run: poll `<output>/live.json` (written by
                the runtime every frame) and render the newest mesh +
                trajectory as they grow, like the reference's live viewer.
+  --web        serve an INTERACTIVE WebGL viewer over HTTP (orbit camera,
+               live mesh + trajectory + camera-frustum actors, snapshot
+               scrubber) — the full GUI equivalent, usable from any
+               browser via an SSH port-forward. See utils/webviewer.py.
 
 Usage: python visualizer.py configs/Replica/room0.yaml [--output ...]
-       [--every 10] [--mp4] [--incremental | --live [--poll 2.0]]
+       [--every 10] [--mp4] [--incremental | --live [--poll 2.0]
+        | --web [--port 8090]]
 """
 
 import argparse
@@ -41,6 +46,10 @@ def main():
                         help="follow a running run via live.json")
     parser.add_argument("--poll", type=float, default=2.0,
                         help="--live poll interval (s)")
+    parser.add_argument("--web", action="store_true",
+                        help="serve the interactive WebGL viewer over HTTP")
+    parser.add_argument("--port", type=int, default=8090)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
     args = parser.parse_args()
 
     from unislam_tpu.config import load_config
@@ -52,6 +61,11 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "configs/UNISLAM.yaml"))
     output = args.output or cfg["data"]["output"]
     mesh_dir = os.path.join(output, "mesh")
+
+    if args.web:
+        from unislam_tpu.utils import webviewer
+        webviewer.serve(output, port=args.port, host=args.host)
+        return
 
     if args.live:
         pngs = playback.follow_live(output, poll_s=args.poll)
