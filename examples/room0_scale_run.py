@@ -73,6 +73,9 @@ def main():
                          '(ablations), e.g. \'{"brick_levels": 4}\'')
     ap.add_argument("--track_json", default=None,
                     help="JSON dict merged into the tracking config section")
+    ap.add_argument("--render_json", default=None,
+                    help="JSON dict merged into the rendering config "
+                         'section, e.g. \'{"lod_split": "hashed"}\'')
     args = ap.parse_args()
 
     import jax
@@ -119,6 +122,8 @@ def main():
         rendering["n_fine"] = args.n_fine
     if args.grid_json:
         grid.update(json.loads(args.grid_json))
+    if args.render_json:
+        rendering.update(json.loads(args.render_json))
 
     # smoke tests (scale < 1) shrink the ray workload with the image
     px = max(0.05, min(s, 1.0))

@@ -128,3 +128,111 @@ def test_render_lod_runs_and_finite(with_depth):
     g = jax.grad(loss)(params)
     assert np.isfinite(np.asarray(g["table"])).all()
     assert float(jnp.abs(jnp.asarray(g["table"])).sum()) > 0
+
+
+def _scene_mhash():
+    """A spec with a matmul-hashed level so the two split modes differ:
+    levels = [dense, dense, hashed+matmul, hashed+gather]."""
+    spec = be.make_spec(n_levels=4, n_features=4, log2_hashmap_size=6,
+                        base_resolution=4, desired_resolution=256,
+                        matmul_max_rows=64, matmul_hashed=1,
+                        matmul_hashed_rows=32)
+    bound = np.asarray([[-1.0, 1.0]] * 3, np.float32)
+    sc = scene_lib.SceneConfig(
+        sdf_spec=None, color_spec=None, bound=bound, truncation=0.1,
+        c_dim=spec.out_dim, encoding="brick", brick_spec=spec)
+    params = {
+        "table": be.init_table(jax.random.PRNGKey(0), spec) * 1e3,
+        "sdf_mlp": decoders.init_mlp(jax.random.PRNGKey(1), spec.out_dim,
+                                     16, 1, 2),
+        "color_mlp": decoders.init_mlp(jax.random.PRNGKey(2), spec.out_dim,
+                                       16, 3, 2),
+        "beta": jnp.full((1,), 10.0),
+    }
+    return sc, params
+
+
+def test_split_modes():
+    sc, _ = _scene_mhash()
+    spec = sc.brick_spec
+    assert list(spec.hashed) == [False, False, True, True]
+    assert list(spec.matmul)[2:] == [True, False]
+    # cost split: matmul-hashed levels stay coarse (tracking-safe)
+    assert be.coarse_fine_split(spec, "cost") == ((0, 1, 2), (3,))
+    # hashed split: every hashed level is band-gated (mapping option)
+    assert be.coarse_fine_split(spec, "hashed") == ((0, 1), (2, 3))
+
+
+def test_query_lod_hashed_split_full_selection_matches_query():
+    sc, params = _scene_mhash()
+    R, S = 5, 4
+    p_nor = jax.random.uniform(jax.random.PRNGKey(8), (R, S, 3))
+    sel = jnp.tile(jnp.eye(S)[None], (R, 1, 1))
+    out_lod = scene_lib.query_lod(params, sc, p_nor, sel, split="hashed")
+    out_ref = scene_lib.query(params, sc, p_nor.reshape(-1, 3)).reshape(
+        R, S, 4)
+    np.testing.assert_allclose(np.asarray(out_lod), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_render_hashed_split_runs_and_grads():
+    sc, params = _scene_mhash()
+    rc = renderer.RenderConfig(n_stratified=8, n_importance=4, perturb=True,
+                               n_fine=5, lod_split="hashed")
+    R = 12
+    key = jax.random.PRNGKey(9)
+    d = jax.random.normal(key, (R, 3))
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = renderer.render_rays(params, sc, rc, jnp.zeros((R, 3)), rays_d,
+                               jnp.full((R,), 0.8), key)
+    for leaf in out:
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    def loss(p):
+        o = renderer.render_rays(p, sc, rc, jnp.zeros((R, 3)), rays_d,
+                                 jnp.full((R,), 0.8), key)
+        return jnp.sum(o.rgb) + jnp.sum(o.depth)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(jnp.asarray(g["table"])).sum()) > 0
+
+
+def test_degenerate_split_falls_back_to_full_query():
+    """A spec whose cost split has NO fine levels: n_fine > 0 must be a
+    no-op (exactly the full-ladder render), not a crash."""
+    spec = be.make_spec(n_levels=2, n_features=4, log2_hashmap_size=6,
+                        base_resolution=4, desired_resolution=8,
+                        matmul_max_rows=64)
+    assert be.coarse_fine_split(spec, "cost")[1] == ()
+    bound = np.asarray([[-1.0, 1.0]] * 3, np.float32)
+    sc = scene_lib.SceneConfig(
+        sdf_spec=None, color_spec=None, bound=bound, truncation=0.1,
+        c_dim=spec.out_dim, encoding="brick", brick_spec=spec)
+    params = {
+        "table": be.init_table(jax.random.PRNGKey(0), spec) * 1e3,
+        "sdf_mlp": decoders.init_mlp(jax.random.PRNGKey(1), spec.out_dim,
+                                     16, 1, 2),
+        "color_mlp": decoders.init_mlp(jax.random.PRNGKey(2), spec.out_dim,
+                                       16, 3, 2),
+        "beta": jnp.full((1,), 10.0),
+    }
+    R = 9
+    key = jax.random.PRNGKey(10)
+    d = jax.random.normal(key, (R, 3))
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    args = (params, sc, jnp.zeros((R, 3)), rays_d, jnp.full((R,), 0.7), key)
+    rc_lod = renderer.RenderConfig(n_stratified=8, n_importance=4,
+                                   perturb=True, n_fine=5)
+    rc_full = rc_lod._replace(n_fine=0)
+    out_lod = renderer.render_rays(args[0], args[1], rc_lod, *args[2:])
+    out_full = renderer.render_rays(args[0], args[1], rc_full, *args[2:])
+    for a, b in zip(out_lod, out_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_split_mode_coarse_n():
+    sc, _ = _scene_mhash()
+    spec = sc.brick_spec
+    assert be.coarse_fine_split(spec, "coarse2") == ((0, 1), (2, 3))
+    assert be.coarse_fine_split(spec, "coarse3") == ((0, 1, 2), (3,))
+    assert be.coarse_fine_split(spec, "coarse4") == ((0, 1, 2, 3), ())

@@ -83,13 +83,19 @@ class UniSLAM:
         self.rc = RenderConfig(n_stratified=r["n_stratified"],
                                n_importance=r["n_importance"],
                                perturb=bool(r.get("perturb", True)),
-                               n_fine=int(r.get("n_fine", 0)))
+                               n_fine=int(r.get("n_fine", 0)),
+                               lod_split=str(r.get("lod_split", "cost")))
         # tracking may query the map at a different LOD than mapping
         # (tracking.n_fine: -1 = coarse levels only, 0 = full ladder,
-        # >0 = surface-LOD band); default: same as rendering.n_fine
+        # >0 = surface-LOD band; tracking.lod_split: which levels the band
+        # gates — see brick_encoding.coarse_fine_split). Defaults: same
+        # n_fine as rendering, but always the tracking-safe "cost" split
+        # (query-gating a matmul level corrupts the pose gradient,
+        # BENCHLOG.md round 3).
         t_nf = cfg["tracking"].get("n_fine", None)
-        self.rc_track = (self.rc if t_nf is None
-                         else self.rc._replace(n_fine=int(t_nf)))
+        self.rc_track = self.rc._replace(
+            n_fine=int(self.rc.n_fine if t_nf is None else t_nf),
+            lod_split=str(cfg["tracking"].get("lod_split", "cost")))
         self.tc = tracker_lib.from_cfg(cfg)
         self.mc = mapper_lib.from_cfg(cfg)
 

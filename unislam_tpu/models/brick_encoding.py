@@ -158,25 +158,42 @@ def all_levels(spec: BrickSpec) -> tuple:
     return tuple(range(spec.n_levels))
 
 
-def coarse_fine_split(spec: BrickSpec) -> tuple:
+def coarse_fine_split(spec: BrickSpec, mode: str = "cost") -> tuple:
     """(coarse, fine) level index tuples for the surface-LOD query path
-    (scene.query_lod).
+    (scene.query_lod). "fine" levels are restricted to the surface band;
+    "coarse" levels are queried at every sample.
 
-    The split is COST-based, not hash-based: "fine" = levels served by
-    per-row gather/scatter (the ~9-44 ns/row-bound ones, BENCHLOG.md), which
-    LOD restricts to the surface band; "coarse" = dense AND matmul-hashed
-    levels, whose one-hot MXU lookup is cheap at any sample count, queried
-    everywhere. Gating a matmul level would buy almost no speed and was
-    measured to cost tracking accuracy badly (BENCHLOG.md round 3: with the
-    res-128 matmul level gated, the off-band field every wrong-pose
-    hypothesis reads is the res-20 grid alone — ATE-RMSE 11.1 cm vs 0.3 cm
-    ungated on the room0-scale drive)."""
+    mode="cost" (tracking default): "fine" = only levels served by per-row
+    gather/scatter (the ~9-44 ns/row-bound ones, BENCHLOG.md). Matmul-hashed
+    levels stay coarse: gating them was measured to cost tracking accuracy
+    badly (BENCHLOG.md round 3: with the res-128 matmul level gated, the
+    off-band field every wrong-pose hypothesis reads is the res-20 grid
+    alone — ATE-RMSE 11.1 cm vs 0.3 cm ungated on the room0-scale drive).
+
+    mode="hashed" (mapping option): "fine" = ALL spatially-hashed levels,
+    including matmul-hashed ones. XLA's algebraic simplifier rewrites the
+    one-hot matmuls back into gathers/scatters (BENCHLOG.md round 2 trace),
+    so a "cheap MXU" level is really per-row-cost-bound like any other —
+    gating it to the band removes its off-band gather+scatter rows from the
+    mapping iteration. Mapping optimizes against (near-)correct poses, so
+    the wrong-pose-hypothesis argument above does not apply; off-band
+    free-space supervision rides the dense coarse level(s).
+
+    mode="coarse<N>" (e.g. "coarse2"): explicit split — the first N ladder
+    levels are coarse, the rest fine. Decouples the phase's gating choice
+    from how levels happen to be served."""
     matmul_flags = (spec.matmul if spec.matmul is not None
                     else np.zeros(spec.n_levels, bool))
-    fine = tuple(int(l) for l in range(spec.n_levels)
-                 if spec.hashed[l] and not matmul_flags[l])
-    coarse = tuple(int(l) for l in range(spec.n_levels)
-                   if not spec.hashed[l] or matmul_flags[l])
+    if mode == "hashed":
+        gated = [bool(spec.hashed[l]) for l in range(spec.n_levels)]
+    elif mode.startswith("coarse"):
+        n_coarse = int(mode[len("coarse"):])
+        gated = [l >= n_coarse for l in range(spec.n_levels)]
+    else:
+        gated = [bool(spec.hashed[l]) and not matmul_flags[l]
+                 for l in range(spec.n_levels)]
+    fine = tuple(l for l in range(spec.n_levels) if gated[l])
+    coarse = tuple(l for l in range(spec.n_levels) if not gated[l])
     return coarse, fine
 
 

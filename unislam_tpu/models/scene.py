@@ -212,7 +212,7 @@ def query(params: Dict[str, Any], sc: SceneConfig,
 
 
 def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
-              sel_onehot: jnp.ndarray) -> jnp.ndarray:
+              sel_onehot: jnp.ndarray, split: str = "cost") -> jnp.ndarray:
     """Surface-LOD joint query (brick mode): coarse (dense/matmul) levels on
     ALL samples, hashed fine levels only on a per-ray selected subset.
 
@@ -233,7 +233,7 @@ def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
     spec = sc.brick_spec
     R, S = p_nor.shape[:2]
     K = sel_onehot.shape[1]
-    coarse, fine = brick_encoding.coarse_fine_split(spec)
+    coarse, fine = brick_encoding.coarse_fine_split(spec, split)
     # level-major feature order: coarse must be a ladder prefix so that
     # concat([coarse_feat, fine_feat]) matches the full encode's layout.
     assert not coarse or not fine or max(coarse) < min(fine)

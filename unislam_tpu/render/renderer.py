@@ -39,6 +39,11 @@ class RenderConfig(NamedTuple):
     # 0 disables (all levels on all samples); -1 queries COARSE LEVELS ONLY
     # (no fine anywhere — coarse-to-fine tracking, see scene.query_coarse).
     n_fine: int = 0
+    # which levels count as "fine" (brick_encoding.coarse_fine_split):
+    # "cost" = gather/scatter-served levels only (tracking-safe);
+    # "hashed" = every spatially-hashed level incl. matmul-hashed ones
+    # (mapping: removes their off-band gather+scatter rows per iteration).
+    lod_split: str = "cost"
 
 
 class RenderOutput(NamedTuple):
@@ -103,7 +108,13 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
     probe_levels = None
     if use_lod or coarse_only:
         from unislam_tpu.models import brick_encoding
-        probe_levels, _ = brick_encoding.coarse_fine_split(sc.brick_spec)
+        probe_levels, fine_levels = brick_encoding.coarse_fine_split(
+            sc.brick_spec, rc.lod_split)
+        # degenerate splits: no gated levels -> LOD is a no-op (full query);
+        # no coarse levels -> nothing to probe/gate with (full query).
+        if not fine_levels or not probe_levels:
+            use_lod = coarse_only = False
+            probe_levels = None
 
     def _no_depth_branch(_):
         far = rays_lib.ray_aabb_far(
@@ -152,9 +163,10 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
                       == jnp.arange(n_total)[None, None, :])
         raw = scene_lib.query_lod(
             params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
-            sel_onehot)
+            sel_onehot, split=rc.lod_split)
     elif coarse_only:
-        raw = scene_lib.query_coarse(params, sc, p_nor).reshape(
+        raw = scene_lib.query_coarse(params, sc, p_nor,
+                                     split=rc.lod_split).reshape(
             z_vals.shape[0], n_total, 4)
     else:
         raw = scene_lib.query(params, sc, p_nor).reshape(
