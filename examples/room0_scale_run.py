@@ -167,6 +167,13 @@ def main():
     mesher = Mesher(cfg, slam.sc, slam.intr)
     rec_mesh = f"{args.out}/final_mesh.ply"
     mesher.get_mesh(rec_mesh, slam.params, bank=slam.bank, verbose=True)
+    # frustum+depth cull over the estimated trajectory before metrics —
+    # the reference always evaluates the CULLED mesh (its final-mesh hook
+    # runs cull_mesh right after extraction, Mapper.py:558-572)
+    from unislam_tpu.tools.cull_mesh import cull_mesh as cull_mesh_fn
+    rec_mesh = cull_mesh_fn(rec_mesh, cfg, slam.intr, frames=ds,
+                            estimate_c2w_list=slam.est_c2w, eval_rec=True,
+                            verbose=True)
     gt_mesh = analytic_gt_mesh(ds, f"{args.out}/gt_mesh.ply",
                                resolution=max(0.02, 0.02 / max(s, 0.1)))
     # cull the GT to the observed region: the orbit never sees parts of the

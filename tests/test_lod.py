@@ -236,3 +236,19 @@ def test_split_mode_coarse_n():
     assert be.coarse_fine_split(spec, "coarse2") == ((0, 1), (2, 3))
     assert be.coarse_fine_split(spec, "coarse3") == ((0, 1, 2), (3,))
     assert be.coarse_fine_split(spec, "coarse4") == ((0, 1, 2, 3), ())
+
+
+def test_render_coarse_only_with_split_kw():
+    """n_fine = -1 (coarse-to-fine tracking) with an explicit split mode —
+    regression: query_coarse must accept the split kwarg."""
+    sc, params = _scene_mhash()
+    rc = renderer.RenderConfig(n_stratified=8, n_importance=4, perturb=True,
+                               n_fine=-1, lod_split="coarse2")
+    R = 8
+    key = jax.random.PRNGKey(11)
+    d = jax.random.normal(key, (R, 3))
+    rays_d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = renderer.render_rays(params, sc, rc, jnp.zeros((R, 3)), rays_d,
+                               jnp.full((R,), 0.8), key)
+    for leaf in out:
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -87,7 +87,8 @@ def make_spec(n_levels: int = 4, n_features: int = 8,
               desired_resolution: int = 816,
               matmul_max_rows: int = 0,
               matmul_hashed: int = 0,
-              matmul_hashed_rows: int = 4096) -> BrickSpec:
+              matmul_hashed_rows: int = 4096,
+              hashed_level_rows=None) -> BrickSpec:
     """Geometric resolution ladder from base to desired (same spirit as the
     reference's per_level_scale formula, UNISLAM.py:241).
 
@@ -101,6 +102,15 @@ def make_spec(n_levels: int = 4, n_features: int = 8,
     zero gather/scatter rows on those levels — on TPU the scatter is
     per-row-bound (~44-62 ns/row, BENCHLOG.md) while a <=4096-row one-hot
     matmul runs at the MXU FLOP floor.
+
+    `hashed_level_rows` (sequence, optional): per-level row counts for the
+    successive NON-matmul hashed levels (the k-th such level gets the k-th
+    entry; the last entry repeats). XLA's gather cost is table-size-
+    independent (~6 ns/row, BENCHLOG.md round 3 trace), so a gather-served
+    hashed level can afford far more rows (fewer collisions) than a
+    matmul-served one — collision pollution at a small mid level was
+    measured to cost whole centimeters of room0-scale ATE once the level
+    stopped receiving off-band cleanup gradients (BENCHLOG round 3).
     """
     if n_levels > 1:
         resolutions = _geometric(base_resolution, desired_resolution,
@@ -120,6 +130,7 @@ def make_spec(n_levels: int = 4, n_features: int = 8,
     max_rows = 1 << log2_hashmap_size
     level_rows, hashed, matmul = [], [], []
     hashed_seen = 0
+    gather_hashed_seen = 0
     for br in brick_res:
         dense = int(br) ** 3
         if dense > max_rows:
@@ -129,7 +140,12 @@ def make_spec(n_levels: int = 4, n_features: int = 8,
                 hashed.append(True)
                 matmul.append(True)
             else:
-                level_rows.append(max_rows)
+                rows = max_rows
+                if hashed_level_rows:
+                    k = min(gather_hashed_seen, len(hashed_level_rows) - 1)
+                    rows = min(int(hashed_level_rows[k]), dense)
+                gather_hashed_seen += 1
+                level_rows.append(rows)
                 hashed.append(True)
                 matmul.append(False)
         else:

@@ -98,7 +98,8 @@ def make_scene_config(cfg: Dict[str, Any]) -> SceneConfig:
             matmul_max_rows=int(cfg["grid"].get("brick_matmul_rows", 4096)),
             matmul_hashed=int(cfg["grid"].get("brick_matmul_hashed", 0)),
             matmul_hashed_rows=int(cfg["grid"].get(
-                "brick_matmul_hashed_rows", 4096)))
+                "brick_matmul_hashed_rows", 4096)),
+            hashed_level_rows=cfg["grid"].get("brick_hashed_level_rows"))
 
     return SceneConfig(
         sdf_spec=sdf_spec,
@@ -256,7 +257,7 @@ def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
 
 
 def query_coarse(params: Dict[str, Any], sc: SceneConfig,
-                 p_nor: jnp.ndarray) -> jnp.ndarray:
+                 p_nor: jnp.ndarray, split: str = "cost") -> jnp.ndarray:
     """Coarse-levels-only joint query (brick mode) -> (N, 4) [r, g, b, sdf].
 
     The hashed fine levels are skipped entirely and their feature columns
@@ -269,7 +270,7 @@ def query_coarse(params: Dict[str, Any], sc: SceneConfig,
     gradient (RenderConfig.n_fine = -1)."""
     assert sc.encoding == "brick"
     spec = sc.brick_spec
-    coarse, _ = brick_encoding.coarse_fine_split(spec)
+    coarse, _ = brick_encoding.coarse_fine_split(spec, split)
     feat = brick_encoding.encode(params["table"], p_nor, spec, coarse)
     feat = _zero_fill_levels(feat, spec, tuple(coarse))
     sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]

@@ -69,6 +69,35 @@ class Mesher:
             lambda params, pts: scene_lib.raw_sdf(
                 params, sc, scene_lib.normalize_points(sc, pts)))
 
+        # LOD-contract two-pass grid eval (brick encoding trained with
+        # surface-LOD): band-gated mapping only ever trains the fine levels
+        # inside the depth-guided band, so outside it they carry untrained
+        # init/collision noise that marching cubes happily turns into
+        # floaters (measured: 4-9 cm observed-accuracy tails on the
+        # room0-scale drive). The mesher must honor the same contract the
+        # renderer does: pass 1 queries the always-trained coarse levels
+        # over the whole grid; pass 2 re-queries the FULL ladder only where
+        # the coarse field is near the level set (|sdf| < coarse_band,
+        # dilated); everywhere else keeps the (floater-free) coarse value.
+        r = cfg.get("rendering", {})
+        self._lod_two_pass = (
+            sc.encoding == "brick"
+            and int(r.get("n_fine", 0)) > 0
+            and bool(cfg.get("meshing", {}).get("lod_two_pass", True)))
+        self._coarse_band = float(
+            cfg.get("meshing", {}).get("coarse_band", 0.9))
+        if self._lod_two_pass:
+            from unislam_tpu.models import brick_encoding
+            coarse, fine = brick_encoding.coarse_fine_split(
+                sc.brick_spec, str(r.get("lod_split", "cost")))
+            if not fine or not coarse:
+                self._lod_two_pass = False
+            else:
+                self._query_sdf_coarse = jax.jit(
+                    lambda params, pts: scene_lib.raw_sdf(
+                        params, sc, scene_lib.normalize_points(sc, pts),
+                        levels=coarse))
+
     # ------------------------------------------------------------------
     def grid_axes(self):
         """Axis samples mirroring get_grid_uniform (Mesher.py:168-195)."""
@@ -81,14 +110,17 @@ class Mesher:
         return axes
 
     def eval_points(self, pts: np.ndarray, params,
-                    sdf_only: bool = False) -> np.ndarray:
+                    sdf_only: bool = False,
+                    coarse: bool = False) -> np.ndarray:
         """(N, 3) -> (N, 4) [r, g, b, sdf] (or (N,) sdf when `sdf_only`)
-        with out-of-bound sdf = -1."""
+        with out-of-bound sdf = -1. `coarse` (sdf_only): query only the
+        always-trained coarse LOD levels (pass 1 of the two-pass grid)."""
         bound = self.sc.bound
         width = 1 if sdf_only else 4
         out = np.empty((len(pts), width), dtype=np.float32)
         bs = self.points_batch_size
-        fn = self._query_sdf if sdf_only else self._query
+        fn = ((self._query_sdf_coarse if coarse else self._query_sdf)
+              if sdf_only else self._query)
         for i in range(0, len(pts), bs):
             chunk = pts[i:i + bs].astype(np.float32)
             n = len(chunk)
@@ -135,7 +167,25 @@ class Mesher:
         X, Y, Z = np.meshgrid(*axes, indexing="ij")
         pts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
 
-        sdf = self.eval_points(pts, params, sdf_only=True).reshape(nx, ny, nz)
+        if self._lod_two_pass:
+            # pass 1: coarse levels everywhere (floater-free by training)
+            sdf = self.eval_points(pts, params, sdf_only=True,
+                                   coarse=True).reshape(nx, ny, nz)
+            near = np.abs(sdf - self.level_set) < self._coarse_band
+            from scipy.ndimage import binary_dilation
+            near = binary_dilation(near, iterations=2)
+            idx = np.flatnonzero(near.ravel())
+            if verbose:
+                print(f"meshing two-pass: fine re-query on {len(idx)} of "
+                      f"{len(pts)} grid points "
+                      f"({100.0 * len(idx) / max(len(pts), 1):.1f}%)")
+            if len(idx):
+                # pass 2: full ladder only near the coarse surface band
+                sdf.ravel()[idx] = self.eval_points(pts[idx], params,
+                                                    sdf_only=True)
+        else:
+            sdf = self.eval_points(pts, params,
+                                   sdf_only=True).reshape(nx, ny, nz)
         if not ((sdf > self.level_set).any() and (sdf < self.level_set).any()):
             print("marching: no surface crossing at the level set")
             return None
