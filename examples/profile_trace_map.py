@@ -35,13 +35,16 @@ def build_slam():
                      "ignore_edge_H": 75},
         "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
                     "every_frame": 4, "keyframe_every": 4},
-        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12},
+        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12,
+                      "lod_split": "hashed"},
+        
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
                  "encoding": "brick", "brick_levels": 3,
                  "brick_base_res": 20,
                  "brick_features": 8, "brick_hash_size": 16,
-                 "brick_matmul_rows": 1024, "brick_matmul_hashed": 1},
+                 "brick_matmul_rows": 1024, "brick_matmul_hashed": 0,
+                 "brick_hashed_level_rows": [16384, 65536]},
     })
     return UniSLAM(cfg, ds, seed=0)
 

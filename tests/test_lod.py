@@ -252,3 +252,43 @@ def test_render_coarse_only_with_split_kw():
                                jnp.full((R,), 0.8), key)
     for leaf in out:
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_query_lod_field_selects_surface_band():
+    """Field-guided selection must give fine detail to the samples where
+    the coarse SDF crosses zero, and match query_lod given that onehot."""
+    sc, params = _scene_mhash()
+    R, S, K = 6, 10, 3
+    p_nor = jax.random.uniform(jax.random.PRNGKey(12), (R, S, 3))
+    out_f = scene_lib.query_lod_field(params, sc, p_nor, K, split="hashed")
+    assert out_f.shape == (R, S, 4)
+    assert np.all(np.isfinite(np.asarray(out_f)))
+
+    # reproduce the selection by hand -> outputs must match query_lod
+    from unislam_tpu.models import decoders as dec
+    coarse, fine = be.coarse_fine_split(sc.brick_spec, "hashed")
+    feat_c = be.encode(params["table"], p_nor.reshape(-1, 3), sc.brick_spec,
+                       coarse)
+    probe = scene_lib._zero_fill_levels(feat_c, sc.brick_spec, coarse)
+    sdf_c = dec.mlp_apply(params["sdf_mlp"], probe, "tanh")[..., 0]
+    sdf_c = np.asarray(sdf_c).reshape(R, S)
+    sel_idx = np.argsort(np.abs(sdf_c), axis=1)[:, :K]
+    # jax top_k ties/order may differ; compare against query_lod with the
+    # exact onehot jax picked is overkill — instead check the invariant:
+    # selected samples (fine features on) differ from a coarse-only query
+    # only where |sdf_c| is among the K smallest
+    out_plain = scene_lib.query_coarse(params, sc, p_nor.reshape(-1, 3),
+                                       split="hashed").reshape(R, S, 4)
+    diff = np.abs(np.asarray(out_f) - np.asarray(out_plain)).sum(-1)
+    for r in range(R):
+        changed = set(np.nonzero(diff[r] > 1e-6)[0].tolist())
+        allowed = set(sel_idx[r].tolist())
+        assert changed <= allowed, (r, changed, allowed)
+
+    # gradients flow to the table through the field-selected path
+    def loss(p):
+        o = scene_lib.query_lod_field(p, sc, p_nor, K, split="hashed")
+        return jnp.sum(o)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(jnp.asarray(g["table"])).sum()) > 0

@@ -84,7 +84,8 @@ class UniSLAM:
                                n_importance=r["n_importance"],
                                perturb=bool(r.get("perturb", True)),
                                n_fine=int(r.get("n_fine", 0)),
-                               lod_split=str(r.get("lod_split", "cost")))
+                               lod_split=str(r.get("lod_split", "cost")),
+                               lod_select=str(r.get("lod_select", "depth")))
         # tracking may query the map at a different LOD than mapping
         # (tracking.n_fine: -1 = coarse levels only, 0 = full ladder,
         # >0 = surface-LOD band; tracking.lod_split: which levels the band
@@ -95,7 +96,8 @@ class UniSLAM:
         t_nf = cfg["tracking"].get("n_fine", None)
         self.rc_track = self.rc._replace(
             n_fine=int(self.rc.n_fine if t_nf is None else t_nf),
-            lod_split=str(cfg["tracking"].get("lod_split", "cost")))
+            lod_split=str(cfg["tracking"].get("lod_split", "cost")),
+            lod_select=str(cfg["tracking"].get("lod_select", "depth")))
         self.tc = tracker_lib.from_cfg(cfg)
         self.mc = mapper_lib.from_cfg(cfg)
 

@@ -212,6 +212,68 @@ def query(params: Dict[str, Any], sc: SceneConfig,
     return jnp.concatenate([rgb, sdf[..., None]], axis=-1)
 
 
+def _lod_fine_tail(params: Dict[str, Any], sc: SceneConfig,
+                   p_nor: jnp.ndarray, feat_c: jnp.ndarray,
+                   sel_onehot: jnp.ndarray, fine: tuple) -> jnp.ndarray:
+    """Shared tail of the LOD queries: encode the fine levels at the
+    selected samples, re-spread, concat with the coarse features, decode.
+    p_nor: (R, S, 3); feat_c: (R, S, Cc); sel_onehot: (R, K, S)."""
+    spec = sc.brick_spec
+    R, S = p_nor.shape[:2]
+    K = sel_onehot.shape[1]
+    sel = sel_onehot.astype(p_nor.dtype)
+    fine_pts = jnp.einsum("rks,rsc->rkc", sel, p_nor)
+    feat_f_sel = brick_encoding.encode(
+        params["table"], fine_pts.reshape(-1, 3), spec, fine
+    ).reshape(R, K, -1)
+    feat_f = jnp.einsum("rks,rkf->rsf", sel, feat_f_sel)
+
+    feat = jnp.concatenate([feat_c, feat_f], axis=-1).reshape(R * S, -1)
+    sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
+    rgb = decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
+    return jnp.concatenate([rgb, sdf[..., None]], axis=-1).reshape(R, S, 4)
+
+
+def query_lod_field(params: Dict[str, Any], sc: SceneConfig,
+                    p_nor: jnp.ndarray, K: int,
+                    split: str = "cost") -> jnp.ndarray:
+    """Surface-LOD joint query with FIELD-guided sample selection (brick
+    mode): the K samples per ray that get fine detail are those where the
+    coarse-only SDF is nearest zero — i.e. where the coarse field says the
+    surface is — instead of where the sensor depth says it is.
+
+    Why this exists (BENCHLOG round 3): depth-band query gating in TRACKING
+    reads the field relative to the *hypothesized* pose, so a pose error
+    shifts the gate off the band mapping actually trained; the resulting
+    gradient bias compounded to 11 cm ATE on the room0-scale drive. The
+    coarse field is pose-independent in world space and band-gated mapping
+    trains fine content exactly around its zero crossing, so gating by
+    |sdf_coarse| reads the trained band faithfully at any hypothesis (and
+    skips the off-band collision noise a full query would read).
+
+    p_nor: (R, S, 3). Returns (R, S, 4) [r, g, b, sdf]."""
+    assert sc.encoding == "brick"
+    spec = sc.brick_spec
+    R, S = p_nor.shape[:2]
+    coarse, fine = brick_encoding.coarse_fine_split(spec, split)
+    assert not coarse or not fine or max(coarse) < min(fine)
+
+    feat_c = brick_encoding.encode(
+        params["table"], p_nor.reshape(-1, 3), spec, coarse)   # (RS, Cc)
+    # selection probe: coarse-only SDF (zero-filled fine), gradient-stopped
+    # — the selection is a discrete argmax; differentiating the probe would
+    # only add a dead backward pass
+    probe_feat = _zero_fill_levels(jax.lax.stop_gradient(feat_c), spec,
+                                   tuple(coarse))
+    sdf_c = decoders.mlp_apply(params["sdf_mlp"], probe_feat,
+                               "tanh")[..., 0].reshape(R, S)
+    score = -jnp.abs(jax.lax.stop_gradient(sdf_c))
+    _, sel_idx = jax.lax.top_k(score, K)                      # (R, K)
+    sel_onehot = (sel_idx[..., None] == jnp.arange(S)[None, None, :])
+    return _lod_fine_tail(params, sc, p_nor, feat_c.reshape(R, S, -1),
+                          sel_onehot, fine)
+
+
 def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
               sel_onehot: jnp.ndarray, split: str = "cost") -> jnp.ndarray:
     """Surface-LOD joint query (brick mode): coarse (dense/matmul) levels on
@@ -233,7 +295,6 @@ def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
     assert sc.encoding == "brick"
     spec = sc.brick_spec
     R, S = p_nor.shape[:2]
-    K = sel_onehot.shape[1]
     coarse, fine = brick_encoding.coarse_fine_split(spec, split)
     # level-major feature order: coarse must be a ladder prefix so that
     # concat([coarse_feat, fine_feat]) matches the full encode's layout.
@@ -242,18 +303,7 @@ def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
     feat_c = brick_encoding.encode(
         params["table"], p_nor.reshape(-1, 3), spec, coarse
     ).reshape(R, S, -1)
-
-    sel = sel_onehot.astype(p_nor.dtype)
-    fine_pts = jnp.einsum("rks,rsc->rkc", sel, p_nor)
-    feat_f_sel = brick_encoding.encode(
-        params["table"], fine_pts.reshape(-1, 3), spec, fine
-    ).reshape(R, K, -1)
-    feat_f = jnp.einsum("rks,rkf->rsf", sel, feat_f_sel)
-
-    feat = jnp.concatenate([feat_c, feat_f], axis=-1).reshape(R * S, -1)
-    sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
-    rgb = decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
-    return jnp.concatenate([rgb, sdf[..., None]], axis=-1).reshape(R, S, 4)
+    return _lod_fine_tail(params, sc, p_nor, feat_c, sel_onehot, fine)
 
 
 def query_coarse(params: Dict[str, Any], sc: SceneConfig,

@@ -44,6 +44,12 @@ class RenderConfig(NamedTuple):
     # "hashed" = every spatially-hashed level incl. matmul-hashed ones
     # (mapping: removes their off-band gather+scatter rows per iteration).
     lod_split: str = "cost"
+    # how the n_fine samples are chosen: "depth" = nearest the sensor (or
+    # probe) depth along the ray — mapping's choice, it defines the band
+    # that gets trained; "field" = nearest the coarse field's zero
+    # crossing (scene.query_lod_field) — tracking's choice, pose-
+    # independent so a wrong hypothesis still reads the trained band.
+    lod_select: str = "depth"
 
 
 class RenderOutput(NamedTuple):
@@ -154,7 +160,11 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
     # --- query the field ---
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     p_nor = scene_lib.normalize_points(sc, pts.reshape(-1, 3))
-    if use_lod:
+    if use_lod and rc.lod_select == "field":
+        raw = scene_lib.query_lod_field(
+            params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
+            rc.n_fine, split=rc.lod_split)
+    elif use_lod:
         d_ref = jnp.where(has_depth, gt_depth,
                           jax.lax.stop_gradient(d_probe))
         score = -jnp.abs(jax.lax.stop_gradient(z_vals) - d_ref[:, None])
