@@ -43,10 +43,15 @@ def main():
                        deg_per_frame=1.0)
     overrides = {
         "tracking": {"pixels": 2000, "iters": 8, "ignore_edge_W": 75,
-                     "ignore_edge_H": 75},
+                     "ignore_edge_H": 75, "lod_split": "coarse2"},
         "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
                     "every_frame": 4, "keyframe_every": 4},
-        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12},
+        # mapping band-gates ALL hashed levels ("cost" == "hashed" here since
+        # no level is matmul-hashed); tracking reads the mid level everywhere
+        # (coarse2) — the per-phase split that fixed the room0-scale tracked
+        # ATE to 2.03 cm (beats hash parity 2.68), BENCHLOG.md round 3
+        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12,
+                      "lod_split": "cost"},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
                  # TPU-native brick encoding: one gather row per point/level;
@@ -54,10 +59,16 @@ def main():
                  # [16, 20, 128, 816] carried a redundant res-16 level whose
                  # per-row gather/scatter work cost ~1.5 ms/iter for no
                  # measurable quality (BENCHLOG.md round 2)
+                 # mid level (res 128) served by XLA gather with 16384 rows:
+                 # gather cost is table-size-independent (~6 ns/row), and
+                 # 14:1 collisions (vs 55:1 at the matmul-budget 4096 rows)
+                 # is what keeps tracked ATE at 2.03 cm once mapping
+                 # band-gates the level (BENCHLOG.md round 3)
                  "encoding": "brick", "brick_levels": 3,
                  "brick_base_res": 20,
                  "brick_features": 8, "brick_hash_size": 16,
-                 "brick_matmul_rows": 1024, "brick_matmul_hashed": 1},
+                 "brick_matmul_rows": 1024, "brick_matmul_hashed": 0,
+                 "brick_hashed_level_rows": [16384, 65536]},
     }
     # experiment hook: JSON dict of config-section overrides, e.g.
     # UNISLAM_BENCH_GRID='{"brick_levels": 4}'

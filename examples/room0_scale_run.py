@@ -115,11 +115,16 @@ def main():
             "voxel_sdf": 0.01, "voxel_color": 0.01}
     rendering = {"n_stratified": 32, "n_importance": 8}
     if args.encoding == "brick":
+        # round-3 validated config (BENCHLOG.md): mid level gather-served at
+        # 16384 rows; mapping band-gates hashed levels, tracking reads the
+        # mid level everywhere -> tracked ATE 2.03 cm (hash parity: 2.68)
         grid.update({"encoding": "brick", "brick_levels": 3,
                      "brick_base_res": 20, "brick_features": 8,
                      "brick_hash_size": 16, "brick_matmul_rows": 1024,
-                     "brick_matmul_hashed": 1})
+                     "brick_matmul_hashed": 0,
+                     "brick_hashed_level_rows": [16384, 65536]})
         rendering["n_fine"] = args.n_fine
+        rendering.setdefault("lod_split", "cost")
     if args.grid_json:
         grid.update(json.loads(args.grid_json))
     if args.render_json:
@@ -132,6 +137,8 @@ def main():
                 "ignore_edge_W": int(75 * s) + 1,
                 "ignore_edge_H": int(75 * s) + 1,
                 "lr_T": 0.002, "lr_R": 0.001}
+    if args.encoding == "brick":
+        tracking.setdefault("lod_split", "coarse2")
     if args.track_json:
         tracking.update(json.loads(args.track_json))
     cfg = make_config(ds, {
