@@ -51,7 +51,7 @@ def main():
         # (coarse2) — the per-phase split that fixed the room0-scale tracked
         # ATE to 2.03 cm (beats hash parity 2.68), BENCHLOG.md round 3
         "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12,
-                      "lod_split": "cost"},
+                      "n_fine_mid": 4, "lod_split": "cost"},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
                  # TPU-native brick encoding: one gather row per point/level;

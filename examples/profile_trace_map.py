@@ -36,7 +36,7 @@ def build_slam():
         "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
                     "every_frame": 4, "keyframe_every": 4},
         "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12,
-                      "lod_split": "hashed"},
+                      "n_fine_mid": 4, "lod_split": "hashed"},
         
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,

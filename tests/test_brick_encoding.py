@@ -147,12 +147,15 @@ def test_custom_vjp_matches_autodiff():
         gt_a, gp_a = jax.grad(loss_auto, argnums=(0, 1))(table, pts)
         # g_rows are materialized in bf16 by design (round 2: halves the
         # scatter-input HBM traffic), so the custom VJP differs from f32
-        # autodiff at bf16 resolution (~8e-3 worst case)
+        # autodiff at bf16 resolution (~8e-3 worst case). The points
+        # cotangent additionally contracts bf16 rows x bf16 g directly
+        # (round 3: avoids an 87 MB f32 materialization per mapping iter),
+        # so its error is bf16-product scale: ~1% relative.
         tol = 1e-2 if mm == 0 else 3e-2
         np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_a),
                                    atol=tol, rtol=tol)
         np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_a),
-                                   atol=tol * 30, rtol=tol)
+                                   atol=tol * 30, rtol=2e-2)
 
 
 def test_scene_integration_brick_mode():

@@ -292,3 +292,59 @@ def test_query_lod_field_selects_surface_band():
 
     g = jax.grad(loss)(params)
     assert float(jnp.abs(jnp.asarray(g["table"])).sum()) > 0
+
+
+def test_query_lod_n_mid_band_semantics():
+    """n_fine_mid: non-finest fine levels get only the n_mid FIRST selected
+    samples (sel rows are ordered nearest-first by the renderer's top_k).
+    - n_mid >= K (or 0) must reproduce the single-band path exactly;
+    - with n_mid < K, the first n_mid selected samples still carry every
+      fine level (match the full query), while later-selected samples lose
+      only the mid levels (match a query with mid features zero-filled)."""
+    # spec with TWO hashed (fine) levels: no matmul budget so the ladder
+    # doesn't snap level 1 down to a dense level
+    spec = be.make_spec(n_levels=3, n_features=4, log2_hashmap_size=6,
+                        base_resolution=4, desired_resolution=64,
+                        matmul_max_rows=0)
+    bound = np.asarray([[-1.0, 1.0]] * 3, np.float32)
+    sc = scene_lib.SceneConfig(
+        sdf_spec=None, color_spec=None, bound=bound, truncation=0.1,
+        c_dim=spec.out_dim, encoding="brick", brick_spec=spec)
+    params = {
+        "table": be.init_table(jax.random.PRNGKey(0), spec) * 1e3,
+        "sdf_mlp": decoders.init_mlp(jax.random.PRNGKey(1), spec.out_dim,
+                                     16, 1, 2),
+        "color_mlp": decoders.init_mlp(jax.random.PRNGKey(2), spec.out_dim,
+                                       16, 3, 2),
+        "beta": jnp.full((1,), 10.0),
+    }
+    coarse, fine = be.coarse_fine_split(spec)
+    assert len(fine) >= 2
+    R, S, K, n_mid = 4, 6, 3, 1
+    p_nor = jax.random.uniform(jax.random.PRNGKey(11), (R, S, 3))
+    # selection rows: samples [2, 0, 4] per ray (nearest-first order)
+    order = jnp.asarray([2, 0, 4])
+    sel = (order[None, :, None] == jnp.arange(S)[None, None, :])
+    sel = jnp.tile(sel, (R, 1, 1))
+
+    base = scene_lib.query_lod(params, sc, p_nor, sel)
+    for nm in (0, K, K + 5):
+        out = scene_lib.query_lod(params, sc, p_nor, sel, n_mid=nm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   rtol=1e-5, atol=1e-6)
+
+    out = scene_lib.query_lod(params, sc, p_nor, sel, n_mid=n_mid)
+    # sample 2 (rank 0 < n_mid): full ladder
+    full = scene_lib.query(params, sc, p_nor[0, 2][None])[0]
+    np.testing.assert_allclose(np.asarray(out[0, 2]), np.asarray(full),
+                               rtol=1e-5, atol=1e-6)
+    # sample 0 (rank 1 >= n_mid): coarse + finest only, mid zero-filled
+    keep = tuple(coarse) + (fine[-1],)
+    feat = be.encode(params["table"], p_nor[0, 0][None], spec, keep)
+    feat = scene_lib._zero_fill_levels(feat, spec, keep)
+    sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[0, 0]
+    np.testing.assert_allclose(float(out[0, 0, 3]), float(sdf), rtol=1e-5,
+                               atol=1e-6)
+    # unselected sample 3: coarse only, unchanged by n_mid
+    np.testing.assert_allclose(np.asarray(out[0, 3]),
+                               np.asarray(base[0, 3]), rtol=1e-5, atol=1e-6)

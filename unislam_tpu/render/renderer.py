@@ -50,6 +50,12 @@ class RenderConfig(NamedTuple):
     # crossing (scene.query_lod_field) — tracking's choice, pose-
     # independent so a wrong hypothesis still reads the trained band.
     lod_select: str = "depth"
+    # narrower band for the NON-finest fine levels: they get only the
+    # n_fine_mid nearest samples (0 = same band as the finest level). A mid
+    # level's bricks are ~6x coarser than the band's sample spacing, so the
+    # extra samples mostly re-gather/re-scatter the same rows — per-row
+    # scatter cost is the mapping step's biggest line item (round-3 trace).
+    n_fine_mid: int = 0
 
 
 class RenderOutput(NamedTuple):
@@ -163,7 +169,7 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
     if use_lod and rc.lod_select == "field":
         raw = scene_lib.query_lod_field(
             params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
-            rc.n_fine, split=rc.lod_split)
+            rc.n_fine, split=rc.lod_split, n_mid=rc.n_fine_mid)
     elif use_lod:
         d_ref = jnp.where(has_depth, gt_depth,
                           jax.lax.stop_gradient(d_probe))
@@ -173,7 +179,7 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
                       == jnp.arange(n_total)[None, None, :])
         raw = scene_lib.query_lod(
             params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
-            sel_onehot, split=rc.lod_split)
+            sel_onehot, split=rc.lod_split, n_mid=rc.n_fine_mid)
     elif coarse_only:
         raw = scene_lib.query_coarse(params, sc, p_nor,
                                      split=rc.lod_split).reshape(
