@@ -308,62 +308,79 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     return jnp.stack(level_rows_out, axis=0)
 
 
-def _scatter_rows_grad(g_rows: jnp.ndarray, idx: jnp.ndarray,
-                       spec: BrickSpec, levels: tuple, table_shape,
-                       table_dtype) -> jnp.ndarray:
-    """Backward of _gather_rows: accumulate per-point row cotangents into a
-    zero table. Scatter-add for gather levels; transposed one-hot matmul
-    (MXU scatter-reduce) for matmul levels.
+def _scatter_segments(segments, spec: BrickSpec, table_shape,
+                      table_dtype) -> jnp.ndarray:
+    """Assemble the table cotangent from per-(level, point-set) row
+    cotangents. `segments`: list of (level, idx (N,), g_rows (N, D));
+    several segments may target the same level (multi-group encodes).
 
-    The table cotangent is assembled by CONCATENATING per-level-range
-    pieces, never by dynamic-update-slicing a full-size table: the DUS form
-    made XLA materialize + add several full (total_rows, 27F) tensors
-    (~1.5 ms/iter at mapping scale, see the fusion.12/add_any trace in
-    BENCHLOG.md)."""
+    - Gather-served levels: consecutive level runs are combined into ONE
+      scatter-add — indices from every contributing point set are offset
+      into the run's row range and concatenated, so the whole backward
+      costs a single kCustom scatter (per-row-bound, ~20 ns/row on v5e).
+    - Matmul levels: transposed one-hot MXU matmul per segment.
+
+    The cotangent is assembled by CONCATENATING per-level-range pieces,
+    never by dynamic-update-slicing a full-size table: the DUS form made
+    XLA materialize + add several full (total_rows, 27F) tensors
+    (~1.5 ms/iter at mapping scale, the fusion.12/add_any trace in
+    BENCHLOG.md). The multi-group form exists for the same reason one
+    level up: separate encode() calls each produce a FULL-table cotangent
+    that autodiff must zero-broadcast, DUS and add (~0.7 ms/iter measured
+    in the round-3 mapping trace); encode_multi funnels every group
+    through this single assembly."""
     matmul_flags = (spec.matmul if spec.matmul is not None
                     else np.zeros(spec.n_levels, bool))
     offsets = spec.row_offsets.astype(np.int64)
-    D = g_rows.shape[-1]
-    level_of = {l: k for k, l in enumerate(levels)}
+    D = int(table_shape[1])
+    by_level = {}
+    for level, idx, g_rows in segments:
+        by_level.setdefault(int(level), []).append((idx, g_rows))
 
-    # group CONSECUTIVE gather levels so each run is one scatter-add
-    pieces = []         # (row_start, row_end, piece or None-for-zeros)
-    run = []            # current run of gather levels [(level, pos), ...]
+    pieces = []         # (row_start, row_end, piece)
+    run = []            # current run of gather-served present levels
 
     def flush_run():
         if not run:
             return
-        lv = np.asarray([l for l, _ in run])
-        pos = np.asarray([k for _, k in run])
-        base = int(offsets[lv[0]])
-        n_rows = int(offsets[lv[-1] + 1] - base)
-        g_idx = idx[pos, :] + \
-            jnp.asarray((offsets[lv] - base).astype(np.int32))[:, None]
-        piece = jnp.zeros((n_rows, D), jnp.float32).at[
-            g_idx.reshape(-1)].add(
-                g_rows[pos].reshape(-1, D).astype(jnp.float32))
+        base = int(offsets[run[0]])
+        n_rows = int(offsets[run[-1] + 1] - base)
+        idx_list, upd_list = [], []
+        for l in run:
+            off = np.int32(int(offsets[l]) - base)
+            for idx, g_rows in by_level[l]:
+                idx_list.append(idx + off)
+                upd_list.append(g_rows)
+        g_idx = (jnp.concatenate(idx_list) if len(idx_list) > 1
+                 else idx_list[0])
+        upd = (jnp.concatenate(upd_list, axis=0) if len(upd_list) > 1
+               else upd_list[0])
+        piece = jnp.zeros((n_rows, D), jnp.float32).at[g_idx].add(
+            upd.astype(jnp.float32))
         pieces.append((base, base + n_rows, piece))
         run.clear()
 
     for l in range(spec.n_levels):
-        if l not in level_of:
+        if l not in by_level:
             continue
-        k = level_of[l]
         if not matmul_flags[l]:
-            run.append((l, k))
+            run.append(l)
             continue
         flush_run()
         rows_l = int(spec.level_rows[l])
-        onehot = (idx[k][:, None]
-                  == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.bfloat16)
-        g_tbl = jnp.dot(onehot.T, g_rows[k].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
+        acc = None
+        for idx, g_rows in by_level[l]:
+            onehot = (idx[:, None]
+                      == jnp.arange(rows_l, dtype=jnp.int32)[None, :]
+                      ).astype(jnp.bfloat16)
+            g_tbl = jnp.dot(onehot.T, g_rows.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            acc = g_tbl if acc is None else acc + g_tbl
         base = int(offsets[l])
-        pieces.append((base, base + rows_l, g_tbl))
+        pieces.append((base, base + rows_l, acc))
     flush_run()
 
-    # stitch: zeros for level ranges outside `levels`
+    # stitch: zeros for level ranges outside the touched set
     parts, cursor = [], 0
     for start, end, piece in sorted(pieces, key=lambda p: p[0]):
         if start > cursor:
@@ -411,7 +428,9 @@ def _encode_fwd(table, points, spec, levels):
     return out, (table, points, idx, local, frac, rows)
 
 
-def _encode_bwd(spec, levels, res, g_out):
+def _bwd_group(spec, levels, res, g_out):
+    """Per-group backward math: row-cotangent segments for the table (fed
+    to _scatter_segments) and the points cotangent."""
     table, points, idx, local, frac, rows = res
     L, F = len(levels), spec.n_features
     N = points.shape[0]
@@ -426,8 +445,7 @@ def _encode_bwd(spec, levels, res, g_out):
     g_bf = g.astype(jnp.bfloat16)
     g_rows = (w.astype(jnp.bfloat16)[..., None]
               * g_bf[:, :, None, :]).reshape(L, N, V * F)
-    g_table = _scatter_rows_grad(g_rows, idx, spec, levels, table.shape,
-                                 table.dtype)
+    segments = [(l, idx[k], g_rows[k]) for k, l in enumerate(levels)]
 
     # points cotangent: through the trilinear weights only. The contraction
     # runs on the bf16 residual rows directly (f32 accumulation): casting
@@ -450,6 +468,13 @@ def _encode_bwd(spec, levels, res, g_out):
     g_p = jnp.sum(g_frac * res_scale, axis=0)          # (N,3)
     inside = (points >= 0.0) & (points <= 1.0)
     g_p = jnp.where(inside, g_p, 0.0).astype(points.dtype)
+    return segments, g_p
+
+
+def _encode_bwd(spec, levels, res, g_out):
+    table = res[0]
+    segments, g_p = _bwd_group(spec, levels, res, g_out)
+    g_table = _scatter_segments(segments, spec, table.shape, table.dtype)
     return g_table, g_p
 
 
@@ -485,3 +510,53 @@ def encode(table: jnp.ndarray, points: jnp.ndarray, spec: BrickSpec,
     if levels is None:
         levels = all_levels(spec)
     return _encode_impl(table, points, spec, tuple(levels))
+
+
+def _encode_multi_fwd(table, points_tuple, spec, levels_groups):
+    outs, residuals = [], []
+    for points, levels in zip(points_tuple, levels_groups):
+        out, res = _encode_fwd(table, points, spec, levels)
+        outs.append(out)
+        residuals.append(res)
+    return tuple(outs), (table, tuple(residuals))
+
+
+def _encode_multi_bwd(spec, levels_groups, res, g_outs):
+    table, residuals = res
+    segments, g_points = [], []
+    for res_g, levels, g_out in zip(residuals, levels_groups, g_outs):
+        seg, g_p = _bwd_group(spec, levels, res_g, g_out)
+        segments.extend(seg)
+        g_points.append(g_p)
+    g_table = _scatter_segments(segments, spec, table.shape, table.dtype)
+    return g_table, tuple(g_points)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _encode_multi_impl(table, points_tuple, spec, levels_groups):
+    outs, _ = _encode_multi_fwd(table, points_tuple, spec, levels_groups)
+    return outs
+
+
+_encode_multi_impl.defvjp(_encode_multi_fwd, _encode_multi_bwd)
+
+
+def encode_multi(table: jnp.ndarray, points_tuple, spec: BrickSpec,
+                 levels_groups) -> tuple:
+    """Encode SEVERAL point sets against per-set ladder subsets with one
+    fused backward. points_tuple: sequence of (N_k, 3) arrays;
+    levels_groups: matching sequence of static level tuples. Returns a
+    tuple of (N_k, len(levels_k)*F) feature arrays.
+
+    Why not k independent encode() calls: each call's VJP must return a
+    cotangent of the FULL table shape, so autodiff zero-broadcasts,
+    dynamic-update-slices and ADDS k full (total_rows, 27F) tensors —
+    ~0.7 ms/iter of pure assembly traffic at mapping scale (round-3
+    trace: dynamic-update-slice.26/.27 + broadcast.12063 + layout
+    copies). Here all groups' row cotangents funnel into ONE
+    _scatter_segments assembly: a single combined scatter-add for the
+    gather-served levels and a single concatenated cotangent. The
+    surface-LOD mapping step uses this for its three point sets (all
+    samples x coarse levels, near-band x mid level, band x finest level)."""
+    return _encode_multi_impl(table, tuple(points_tuple), spec,
+                              tuple(tuple(l) for l in levels_groups))

@@ -212,13 +212,8 @@ def query(params: Dict[str, Any], sc: SceneConfig,
     return jnp.concatenate([rgb, sdf[..., None]], axis=-1)
 
 
-def _lod_fine_tail(params: Dict[str, Any], sc: SceneConfig,
-                   p_nor: jnp.ndarray, feat_c: jnp.ndarray,
-                   sel_onehot: jnp.ndarray, fine: tuple,
-                   n_mid: int = 0) -> jnp.ndarray:
-    """Shared tail of the LOD queries: encode the fine levels at the
-    selected samples, re-spread, concat with the coarse features, decode.
-    p_nor: (R, S, 3); feat_c: (R, S, Cc); sel_onehot: (R, K, S).
+def _fine_groups(fine: tuple, sel_onehot: jnp.ndarray, n_mid: int) -> list:
+    """Fine-level band groups: [(levels, sel_onehot_slice), ...].
 
     `n_mid` (static, 0 = off): the non-finest fine levels get only the
     `n_mid` NEAREST selected samples instead of all K. sel_onehot rows come
@@ -229,26 +224,50 @@ def _lod_fine_tail(params: Dict[str, Any], sc: SceneConfig,
     sample spacing, so K=12 band samples mostly re-read the same 1-2 rows —
     a narrower mid band cuts static scatter rows ~proportionally while
     training the same zero-crossing content."""
-    spec = sc.brick_spec
-    R, S = p_nor.shape[:2]
-    groups = [(fine, sel_onehot)]
     if n_mid and len(fine) > 1 and 0 < n_mid < sel_onehot.shape[1]:
-        groups = [(fine[:-1], sel_onehot[:, :n_mid]),
-                  (fine[-1:], sel_onehot)]
+        return [(fine[:-1], sel_onehot[:, :n_mid]), (fine[-1:], sel_onehot)]
+    return [(fine, sel_onehot)]
+
+
+def _lod_decode(params, sc, p_nor, feat_c, groups, group_feats):
+    """Re-spread each band group's features to all S samples, concat with
+    the coarse features (level-major order), decode both heads."""
+    R, S = p_nor.shape[:2]
     feats = [feat_c]
-    for g_levels, g_sel in groups:
+    for (g_levels, g_sel), feat_f_sel in zip(groups, group_feats):
         K = g_sel.shape[1]
         sel = g_sel.astype(p_nor.dtype)
-        fine_pts = jnp.einsum("rks,rsc->rkc", sel, p_nor)
-        feat_f_sel = brick_encoding.encode(
-            params["table"], fine_pts.reshape(-1, 3), spec, g_levels
-        ).reshape(R, K, -1)
-        feats.append(jnp.einsum("rks,rkf->rsf", sel, feat_f_sel))
-
+        feats.append(jnp.einsum("rks,rkf->rsf", sel,
+                                feat_f_sel.reshape(R, K, -1)))
     feat = jnp.concatenate(feats, axis=-1).reshape(R * S, -1)
     sdf = decoders.mlp_apply(params["sdf_mlp"], feat, "tanh")[..., 0]
     rgb = decoders.mlp_apply(params["color_mlp"], feat, "sigmoid")
     return jnp.concatenate([rgb, sdf[..., None]], axis=-1).reshape(R, S, 4)
+
+
+def _group_points(p_nor: jnp.ndarray, groups) -> list:
+    """Selected band points per group, (R*K_g, 3) each."""
+    pts = []
+    for g_levels, g_sel in groups:
+        sel = g_sel.astype(p_nor.dtype)
+        pts.append(jnp.einsum("rks,rsc->rkc", sel, p_nor).reshape(-1, 3))
+    return pts
+
+
+def _lod_fine_tail(params: Dict[str, Any], sc: SceneConfig,
+                   p_nor: jnp.ndarray, feat_c: jnp.ndarray,
+                   sel_onehot: jnp.ndarray, fine: tuple,
+                   n_mid: int = 0) -> jnp.ndarray:
+    """Shared tail of the LOD queries: encode the fine levels at the
+    selected samples (one encode_multi across band groups), re-spread,
+    concat with the coarse features, decode.
+    p_nor: (R, S, 3); feat_c: (R, S, Cc); sel_onehot: (R, K, S)."""
+    spec = sc.brick_spec
+    groups = _fine_groups(fine, sel_onehot, n_mid)
+    feats = brick_encoding.encode_multi(
+        params["table"], _group_points(p_nor, groups), spec,
+        [g for g, _ in groups])
+    return _lod_decode(params, sc, p_nor, feat_c, groups, feats)
 
 
 def query_lod_field(params: Dict[str, Any], sc: SceneConfig,
@@ -318,10 +337,17 @@ def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
     # concat([coarse_feat, fine_feat]) matches the full encode's layout.
     assert not coarse or not fine or max(coarse) < min(fine)
 
-    feat_c = brick_encoding.encode(
-        params["table"], p_nor.reshape(-1, 3), spec, coarse
-    ).reshape(R, S, -1)
-    return _lod_fine_tail(params, sc, p_nor, feat_c, sel_onehot, fine, n_mid)
+    # ONE encode_multi for all point sets (all samples x coarse, band
+    # groups x fine): each independent encode() would force a full-table
+    # cotangent that autodiff assembles and adds separately (~0.7 ms/iter
+    # at mapping scale, round-3 trace); the fused VJP assembles one.
+    groups = _fine_groups(fine, sel_onehot, n_mid)
+    feats = brick_encoding.encode_multi(
+        params["table"],
+        [p_nor.reshape(-1, 3)] + _group_points(p_nor, groups), spec,
+        [coarse] + [g for g, _ in groups])
+    feat_c = feats[0].reshape(R, S, -1)
+    return _lod_decode(params, sc, p_nor, feat_c, groups, feats[1:])
 
 
 def query_coarse(params: Dict[str, Any], sc: SceneConfig,
