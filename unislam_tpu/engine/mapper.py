@@ -60,6 +60,12 @@ class MapperConfig(NamedTuple):
     extra_rays: int = 200
     extra_newest: int = 10
     mask_mode: str = "original"
+    # Moment-state dtype for the grid-table Adam groups ("bfloat16" with
+    # stochastic rounding, or "float32" = exact optax.adam). bf16 state cuts
+    # ~30% of the HBM bytes of the per-iter Adam sweep over the table
+    # (0.90 ms/iter at room0 scale, round-3 trace); see core/optim.py for
+    # why plain rounding would stall the nu EMA and how SR fixes it.
+    adam_state_dtype: str = "bfloat16"
 
 
 def from_cfg(cfg) -> MapperConfig:
@@ -77,6 +83,7 @@ def from_cfg(cfg) -> MapperConfig:
         w_sdf_fs=m["w_sdf_fs"], w_sdf_center=m["w_sdf_center"],
         w_sdf_tail=m["w_sdf_tail"], w_depth=m["w_depth"],
         w_color=m["w_color"], mask_mode=cfg.get("m_mask_mode", "original"),
+        adam_state_dtype=m.get("adam_state_dtype", "bfloat16"),
     )
 
 
@@ -106,10 +113,15 @@ def make_optimizer(mc: MapperConfig, lr_factor: float = 1.0):
             "poses": "poses",
         }
 
+    if mc.adam_state_dtype == "bfloat16":
+        from unislam_tpu.core.optim import adam_lp
+        table_adam = partial(adam_lp, state_dtype=jnp.bfloat16)
+    else:
+        table_adam = optax.adam
     return optax.multi_transform(
         {"dec": optax.adam(mc.lr_decoders * lr_factor),
-         "hash": optax.adam(mc.lr_hash * lr_factor),
-         "c_hash": optax.adam(mc.lr_c_hash * lr_factor),
+         "hash": table_adam(mc.lr_hash * lr_factor),
+         "c_hash": table_adam(mc.lr_c_hash * lr_factor),
          "poses": optax.adam(mc.joint_opt_cam_lr)},
         label_fn)
 
