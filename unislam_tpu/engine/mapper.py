@@ -116,8 +116,14 @@ def make_optimizer(mc: MapperConfig, lr_factor: float = 1.0):
     if mc.adam_state_dtype == "bfloat16":
         from unislam_tpu.core.optim import adam_lp
         table_adam = partial(adam_lp, state_dtype=jnp.bfloat16)
-    else:
+    elif mc.adam_state_dtype == "float32":
         table_adam = optax.adam
+    else:
+        # reject typos ("bf16", "float16", ...) loudly instead of silently
+        # switching the table optimizer to exact-f32 adam
+        raise ValueError(
+            f"mapping.adam_state_dtype must be 'bfloat16' or 'float32', "
+            f"got {mc.adam_state_dtype!r}")
     return optax.multi_transform(
         {"dec": optax.adam(mc.lr_decoders * lr_factor),
          "hash": table_adam(mc.lr_hash * lr_factor),

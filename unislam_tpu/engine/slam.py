@@ -102,8 +102,25 @@ class UniSLAM:
         self.tc = tracker_lib.from_cfg(cfg)
         self.mc = mapper_lib.from_cfg(cfg)
 
+        # optional multi-device execution (cfg["parallel"], TPU-specific —
+        # the reference has no data parallelism, SURVEY §2.3): ray batches
+        # sharded over a 1-D mesh, scene grads all-reduced by XLA; grid
+        # tables optionally row-sharded.
+        par = cfg.get("parallel", {})
+        self.mesh = None
+        if par.get("data_parallel", False):
+            from unislam_tpu.parallel import sharding as par_sh
+            self.mesh = par_sh.make_mesh(par.get("n_devices", None))
+
         self.key = jax.random.PRNGKey(seed)
         self.params = scene_lib.init_params(self._next_key(), self.sc)
+        if self.mesh is not None:
+            from unislam_tpu.parallel import sharding as par_sh
+            shardings = par_sh.scene_param_shardings(
+                self.mesh, self.params,
+                shard_tables=bool(par.get("shard_tables", False)))
+            self.params = jax.tree_util.tree_map(jax.device_put,
+                                                 self.params, shardings)
 
         # keyframe bank (device-resident)
         self.bank_size = max(1, int(self.intr.H * self.intr.W * 0.1))
@@ -121,11 +138,11 @@ class UniSLAM:
         # jitted steps (single-iteration + fused whole-frame variants)
         self.track_step, self.track_opt, self.track_frame_fn = \
             tracker_lib.make_tracking_step(self.sc, self.rc_track, self.tc,
-                                           self.intr)
+                                           self.intr, mesh=self.mesh)
         self.map_step, self.map_opt, self.map_phase = \
             mapper_lib.make_mapping_step(self.sc, self.rc, self.mc,
                                          self.intr, self.max_kf,
-                                         self.bank_size)
+                                         self.bank_size, mesh=self.mesh)
         self.select_fn = selection_lib.make_selection_fn(
             self.intr, self.max_kf,
             lc_enabled=bool(cfg["mapping"].get("LC", True)),

@@ -53,12 +53,31 @@ def shard_rays(mesh: Optional[Mesh], *arrays):
     return out if len(out) > 1 else out[0]
 
 
+# Grid-table leaf names across both encodings: hash mode stores separate
+# sdf/color tables (models/scene.py init_params), brick mode one shared
+# "table" (models/brick_encoding.py init_table).
+TABLE_KEYS = ("sdf_table", "color_table", "table")
+
+
+def _leaf_key(path) -> str:
+    """Last dict/attr key on a tree path ('' for positional-only paths)."""
+    for entry in reversed(path):
+        if hasattr(entry, "key"):
+            return str(entry.key)
+        if hasattr(entry, "name"):
+            return str(entry.name)
+    return ""
+
+
 def scene_param_shardings(mesh: Mesh, params, shard_tables: bool = False):
-    """Sharding pytree for scene params: replicated, or hash-table rows
-    sharded over the mesh (model-parallel analog)."""
+    """Sharding pytree for scene params: replicated, or grid-table rows
+    sharded over the mesh (model-parallel analog). Matches the exact leaf
+    key (not substring) so brick mode's single "table" is sharded too —
+    round-3 silently replicated it and the dryrun's table-sharding claim
+    was a no-op. Row counts need not divide the mesh (uneven shards ok)."""
     def spec(path, leaf):
-        name = jax.tree_util.keystr(path)
-        if shard_tables and ("sdf_table" in name or "color_table" in name):
+        if (shard_tables and _leaf_key(path) in TABLE_KEYS
+                and getattr(leaf, "ndim", 0) == 2):
             return NamedSharding(mesh, P(RAY_AXIS, None))
         return NamedSharding(mesh, P())
 
