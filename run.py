@@ -43,9 +43,20 @@ def main():
                                    "configs", "UNISLAM.yaml"))
     output = args.output or cfg["data"]["output"]
     os.makedirs(output, exist_ok=True)
-    # reproducibility: dump the merged config (reference UNISLAM.py:146-149)
+    # reproducibility: dump the merged config AND a source snapshot of the
+    # framework package into the output dir (reference UNISLAM.py:146-158
+    # copies src/; we copy unislam_tpu/ + the entry script)
     with open(os.path.join(output, "config.yaml"), "w") as f:
         yaml.safe_dump(cfg, f)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    snap = os.path.join(output, "src_snapshot")
+    if os.path.isdir(snap):
+        shutil.rmtree(snap)
+    shutil.copytree(os.path.join(repo, "unislam_tpu"),
+                    os.path.join(snap, "unislam_tpu"),
+                    ignore=shutil.ignore_patterns("__pycache__", "*.pyc",
+                                                  "*.so"))
+    shutil.copy2(os.path.abspath(__file__), snap)
 
     runtime = SLAMRuntime(cfg, input_folder=args.input_folder, output=output,
                           n_frames=args.n_frames)

@@ -1,0 +1,69 @@
+"""Rendering/reconstruction eval: native LPIPS local-weight path and the
+calc_2d_metric view-budget behavior (VERDICT r3 #7/#8)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unislam_tpu.tools import eval_recon
+
+
+def _fake_lpips_weights(path):
+    """Random weights with the exact torchvision-alexnet + lpips shapes."""
+    import torch
+    g = torch.Generator().manual_seed(0)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    feats = {}
+    for idx, s in zip(eval_recon._NativeLPIPS._CONVS, shapes):
+        feats[f"{idx}.weight"] = torch.randn(s, generator=g) * 0.01
+        feats[f"{idx}.bias"] = torch.zeros(s[0])
+    lins = [torch.rand((1, s[0], 1, 1), generator=g) for s in shapes]
+    torch.save({"features": feats, "lins": lins}, path)
+
+
+def test_native_lpips_loads_and_scores(tmp_path, monkeypatch):
+    import torch
+    wpath = str(tmp_path / "lpips_alex.pt")
+    _fake_lpips_weights(wpath)
+    monkeypatch.setenv("UNISLAM_LPIPS_WEIGHTS", wpath)
+    assert eval_recon.lpips_weights_path() == wpath
+    model = eval_recon.try_lpips()
+    assert model is not None
+
+    g = torch.Generator().manual_seed(1)
+    a = torch.rand((1, 3, 64, 64), generator=g) * 2 - 1
+    b = torch.rand((1, 3, 64, 64), generator=g) * 2 - 1
+    d_same = float(model(a, a))
+    d_diff = float(model(a, b))
+    assert d_same == 0.0
+    assert np.isfinite(d_diff) and d_diff > 0.0
+
+
+def test_lpips_unavailable_without_weights(monkeypatch):
+    monkeypatch.setenv("UNISLAM_LPIPS_WEIGHTS", "/nonexistent/p.pt")
+    monkeypatch.setattr(eval_recon.os.path, "expanduser",
+                        lambda p: "/nonexistent/cache.pt")
+    assert eval_recon.try_lpips() is None
+
+
+def test_calc_2d_metric_skips_exhausted_views(tmp_path, monkeypatch):
+    """When no sampled view ever passes the unseen-region test, the metric
+    must skip views (NaN if none valid) rather than score leaking views."""
+    from unislam_tpu.utils.mesh_io import write_ply
+
+    # tiny closed-ish mesh (single triangle is enough for the rasterizer)
+    v = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float64)
+    f = np.asarray([[0, 1, 2]], np.int32)
+    gt = str(tmp_path / "gt_culled.ply")
+    rec = str(tmp_path / "rec.ply")
+    write_ply(gt, v, f)
+    write_ply(rec, v, f)
+    # unseen cloud positioned so every view sees it -> budget exhausts
+    np.save(str(tmp_path / "gt_pc_unseen.npy"),
+            np.random.default_rng(0).uniform(-2, 2, (4000, 3)))
+    monkeypatch.setattr(eval_recon, "_sees",
+                        lambda *a, **k: True)  # every view is invalid
+    out = eval_recon.calc_2d_metric(rec, gt, align=False, n_imgs=3)
+    assert np.isnan(out["Depth L1: "])

@@ -167,6 +167,16 @@ class UniSLAM:
         # hooks (set by runtime wrappers): called as f(self, idx)
         self.on_frame_done = None
         self.on_mapping_done = None
+        # per-iteration visualization hooks (consume the reference's
+        # vis_inside_freq knob, which it reads but never uses —
+        # Frame_Visualizer.py:45). Each is None or an object with
+        # .wants(idx) -> bool, .inside_freq, and __call__(slam, idx, it, x)
+        # where x is the current pose7 (tracking) / opt_tree (mapping).
+        # A frame they claim runs on the single-iteration step path
+        # (identical numerics: same key folding, same best-of-iters
+        # bookkeeping) instead of the fused whole-phase dispatch.
+        self.tracking_iter_vis = None
+        self.mapping_iter_vis = None
 
         # per-phase wall-time / rays/s counters (opt-in: adds one device
         # sync per phase; the reference has no profiling at all, SURVEY §5)
@@ -223,10 +233,15 @@ class UniSLAM:
         pose = {"R": pose7[:4], "T": pose7[4:]}
         opt_state = self.track_opt.init(pose)
 
-        # whole-frame tracking in one fused device dispatch
-        best7, min_loss, unc_prev, unc_last = self.track_frame_fn(
-            self._tracking_params(), pose, opt_state, depth_img, color_img,
-            self._next_key(), jnp.int32(self.t_iters))
+        vis = self.tracking_iter_vis
+        if vis is not None and vis.wants(idx):
+            best7, min_loss, unc_prev, unc_last = self._track_instrumented(
+                idx, pose, opt_state, depth_img, color_img, vis)
+        else:
+            # whole-frame tracking in one fused device dispatch
+            best7, min_loss, unc_prev, unc_last = self.track_frame_fn(
+                self._tracking_params(), pose, opt_state, depth_img,
+                color_img, self._next_key(), jnp.int32(self.t_iters))
 
         # penultimate-iteration uncertainty drives activated mapping
         # (Tracker.py:350-363 records at cam_iter == num_cam_iters-1 after
@@ -246,6 +261,34 @@ class UniSLAM:
                 self.tracking_back = False
 
         return np.asarray(pose_lib.cam_pose_to_matrix(best7[None])[0])
+
+    def _track_instrumented(self, idx, pose, opt_state, depth_img, color_img,
+                            vis):
+        """Per-iteration tracking with visualization callbacks: the Python
+        loop over the single-iteration step reproduces the fused
+        track_frame_fn exactly (same fold_in key schedule, best-of-iters
+        pose, penultimate-iter uncertainty) while `vis` fires every
+        `vis.inside_freq` iterations and on the last one (the reference
+        renders at cam_iter == num_cam_iters-1, Tracker.py:336-338)."""
+        params = self._tracking_params()
+        key = self._next_key()
+        best7 = jnp.concatenate([pose["R"], pose["T"]])
+        min_loss = np.inf
+        unc_prev = unc_last = 0.0
+        n = int(self.t_iters)
+        for it in range(n):
+            cur7 = jnp.concatenate([pose["R"], pose["T"]])
+            if it % vis.inside_freq == 0 or it == n - 1:
+                vis(self, idx, it, cur7)
+            pose, opt_state, loss, unc = self.track_step(
+                params, pose, opt_state, depth_img, color_img,
+                jax.random.fold_in(key, it))
+            loss = float(loss)
+            if loss < min_loss:
+                min_loss, best7 = loss, cur7
+            unc_prev, unc_last = unc_last, float(unc)
+        return best7, jnp.float32(min_loss), jnp.float32(unc_prev), \
+            jnp.float32(unc_last)
 
     # ------------------------------------------------------------------
     def map_frame(self, idx: int, depth_img, color_img, gt_c2w: np.ndarray):
@@ -299,13 +342,26 @@ class UniSLAM:
         probs_j = jnp.asarray(probs, jnp.float32)
         extra_j = jnp.asarray(extra, jnp.float32)
         mask_j = jnp.asarray(pose_grad_mask)
-        # whole mapping phase in one fused device dispatch; the first
-        # phase's x5 LR factor rides the runtime lr_scale argument (one
-        # compiled program for both, see make_mapping_step)
-        opt_tree, opt_state, loss = self.map_phase(
-            opt_tree, opt_state, self.bank, depth_img, color_img,
-            self.cam_rays_d, probs_j, extra_j, mask_j, self._next_key(),
-            jnp.int32(iters), jnp.float32(lr_scale))
+        vis = self.mapping_iter_vis
+        if vis is not None and vis.wants(idx):
+            # per-iteration path (same key schedule as the fused phase)
+            key = self._next_key()
+            loss = jnp.float32(0.0)
+            for it in range(int(iters)):
+                if it % vis.inside_freq == 0 or it == int(iters) - 1:
+                    vis(self, idx, it, opt_tree)
+                opt_tree, opt_state, loss = self.map_step(
+                    opt_tree, opt_state, self.bank, depth_img, color_img,
+                    self.cam_rays_d, probs_j, extra_j, mask_j,
+                    jax.random.fold_in(key, it), jnp.float32(lr_scale))
+        else:
+            # whole mapping phase in one fused device dispatch; the first
+            # phase's x5 LR factor rides the runtime lr_scale argument (one
+            # compiled program for both, see make_mapping_step)
+            opt_tree, opt_state, loss = self.map_phase(
+                opt_tree, opt_state, self.bank, depth_img, color_img,
+                self.cam_rays_d, probs_j, extra_j, mask_j, self._next_key(),
+                jnp.int32(iters), jnp.float32(lr_scale))
 
         self.params = opt_tree["scene"]
         if joint_opt:

@@ -65,6 +65,19 @@ class SLAMRuntime:
         self.map_vis = FrameVisualizer(
             m.get("vis_freq", 50), os.path.join(self.output, "mapping_vis"),
             self.slam.sc, self.slam.rc, self.slam.intr)
+        # per-iteration visualization (vis_inside_freq; 0/absent disables).
+        # Frames it claims run on the single-iteration step path — identical
+        # numerics, extra renders — so it is opt-in debug instrumentation.
+        if int(t.get("vis_inside_freq", 0)) > 0 and \
+                not cfg.get("parallel", {}).get("overlap", False):
+            self.slam.tracking_iter_vis = _InsideVis(
+                self.track_vis.freq, int(t["vis_inside_freq"]),
+                self._tracking_iter_panel)
+        if int(m.get("vis_inside_freq", 0)) > 0 and \
+                not cfg.get("parallel", {}).get("overlap", False):
+            self.slam.mapping_iter_vis = _InsideVis(
+                self.map_vis.freq, int(m["vis_inside_freq"]),
+                self._mapping_iter_panel)
         self.vis_pose_freq = t.get("vis_pose_freq", 100)
         self.mesh_freq = m.get("mesh_freq", 100000)
         # live observability feed (visualizer.py --live); every N frames,
@@ -95,6 +108,41 @@ class SLAMRuntime:
             return
         self._start_idx = load_into(self.slam, path)
         print(f"INFO: resumed from {path} at frame {self._start_idx}")
+
+    # ------------------------------------------------------------------
+    def _frame_for_vis(self, idx: int):
+        """Decode-once cache for the per-iteration vis callbacks (several
+        fire per frame)."""
+        if getattr(self, "_vis_frame_cache", None) is None or \
+                self._vis_frame_cache[0] != idx:
+            color, depth, _ = self.dataset[idx]
+            self._vis_frame_cache = (idx, color, depth)
+        return self._vis_frame_cache[1], self._vis_frame_cache[2]
+
+    def _tracking_iter_panel(self, slam: UniSLAM, idx: int, it: int, pose7):
+        """Full diagnostic panel at the CURRENT in-optimization pose
+        (reference Tracker.py:336-338)."""
+        import jax.numpy as jnp
+
+        from unislam_tpu.core import pose as pose_lib
+        color, depth = self._frame_for_vis(idx)
+        c2w = np.asarray(pose_lib.cam_pose_to_matrix(
+            jnp.asarray(pose7)[None])[0])
+        self.track_vis.save_imgs(idx, it, depth, color, c2w, slam.params)
+
+    def _mapping_iter_panel(self, slam: UniSLAM, idx: int, it: int, opt_tree):
+        """Per-mapping-iteration render of the frame being mapped
+        (reference Frame_Visualizer.save_mapping_imgs:65-100), using the
+        mid-optimization scene params + BA pose."""
+        import jax.numpy as jnp
+
+        from unislam_tpu.core import pose as pose_lib
+        color, depth = self._frame_for_vis(idx)
+        cur7 = opt_tree["poses"][-1]
+        c2w = np.asarray(pose_lib.cam_pose_to_matrix(
+            jnp.asarray(cur7)[None])[0])
+        self.map_vis.save_mapping_imgs(idx, it, color, c2w,
+                                       opt_tree["scene"], gt_depth=depth)
 
     # ------------------------------------------------------------------
     def _on_frame_done(self, slam: UniSLAM, idx: int):
@@ -180,6 +228,23 @@ class SLAMRuntime:
         for idx in frames:
             self.slam.step_frame(idx)
         return self.slam.est_c2w
+
+
+class _InsideVis:
+    """Per-iteration visualization policy: which frames get the
+    instrumented (single-iteration-step) optimization path, and how often
+    inside the iteration loop the callback fires."""
+
+    def __init__(self, frame_freq: int, inside_freq: int, fn):
+        self.frame_freq = max(1, frame_freq)
+        self.inside_freq = max(1, inside_freq)
+        self._fn = fn
+
+    def wants(self, idx: int) -> bool:
+        return idx > 0 and idx % self.frame_freq == 0
+
+    def __call__(self, slam, idx, it, x):
+        self._fn(slam, idx, it, x)
 
 
 class _Truncated:

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import random
 from typing import Optional
 
 import numpy as np
@@ -173,28 +172,32 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
     ext = (hi - lo) * np.array([0.3, 0.7, 0.7]) / 2
     center[2] += 0.4
 
-    rng = random.Random(seed)
     nprng = np.random.default_rng(seed)
     errors = []
     attempts = 0
-    for _ in range(n_imgs):
-        while True:
-            attempts += 1
-            if attempts > n_imgs * 50:
-                break
-            origin = center + nprng.uniform(-1, 1, 3) * ext
-            target = nprng.uniform(-10000, 10000, 3)
-            c2w = _viewmatrix(target - origin, np.array([0.0, 0.0, -1.0]),
-                              origin)
-            if pc_unseen is not None and _sees(pc_unseen, c2w, fx, fy, cx,
-                                               cy, W, H):
-                continue
-            break
+    budget = n_imgs * 50  # the reference loops forever (eval_recon.py:180-198);
+    # we bound the resampling, and views that never pass the unseen-region
+    # test are SKIPPED, not kept (keeping them would leak unseen geometry
+    # into the metric)
+    while len(errors) < n_imgs and attempts < budget:
+        attempts += 1
+        origin = center + nprng.uniform(-1, 1, 3) * ext
+        target = nprng.uniform(-10000, 10000, 3)
+        c2w = _viewmatrix(target - origin, np.array([0.0, 0.0, -1.0]),
+                          origin)
+        if pc_unseen is not None and _sees(pc_unseen, c2w, fx, fy, cx,
+                                           cy, W, H):
+            continue
         w2c = np.linalg.inv(c2w)
         gt_depth = rasterize_depth(gt_v, gt_f, w2c, fx, fy, cx, cy, W, H)
         rec_depth = rasterize_depth(rec_v, rec_f, w2c, fx, fy, cx, cy, W, H)
         errors.append(np.abs(gt_depth - rec_depth).mean())
 
+    if len(errors) < n_imgs:
+        print(f"calc_2d_metric: only {len(errors)}/{n_imgs} valid views "
+              f"within the {budget}-attempt budget (rest skipped)")
+    if not errors:
+        return {"Depth L1: ": float("nan")}
     depth_l1 = float(np.mean(errors) * 100)
     print("Depth L1: ", depth_l1)
     return {"Depth L1: ": depth_l1}
@@ -276,14 +279,100 @@ def ms_ssim(img_a: np.ndarray, img_b: np.ndarray,
     return float(np.prod([v ** w for v, w in zip(vals, weights)]))
 
 
+class _NativeLPIPS:
+    """LPIPS(alex) without the `lpips`/`torchvision` packages: the AlexNet
+    conv stack + per-layer linear calibration, loaded from a LOCAL weights
+    file (this environment has zero egress, so nothing is downloaded).
+
+    Weight file format (torch.save'd dict):
+      {"features": <torchvision alexnet `.features` state_dict>,
+       "lins": [5 tensors of shape (1, C_i, 1, 1)]}   C_i = 64,192,384,256,256
+    Produce it once on an internet-connected machine:
+      sd = torchvision.models.alexnet(weights="DEFAULT").features.state_dict()
+      lp = lpips.LPIPS(net="alex")
+      torch.save({"features": sd,
+                  "lins": [l.model[-1].weight.data for l in lp.lins]}, path)
+
+    Matches the reference metric (torchmetrics LPIPS-alex,
+    /root/reference/src/tools/eval_recon.py:276-299): ImageNet-normalized
+    input, features after each of the 5 ReLUs, channel-unit-normalization,
+    calibrated squared differences, spatial mean, layer sum.
+    """
+
+    # torchvision alexnet .features conv indices and the ReLU tap points
+    _CONVS = (0, 3, 6, 8, 10)
+
+    def __init__(self, weights_path: str):
+        import torch
+        blob = torch.load(weights_path, map_location="cpu",
+                          weights_only=True)
+        feats, lins = blob["features"], blob["lins"]
+        self.conv_w = [feats[f"{i}.weight"].float() for i in self._CONVS]
+        self.conv_b = [feats[f"{i}.bias"].float() for i in self._CONVS]
+        self.lins = [w.float().reshape(1, -1, 1, 1) for w in lins]
+        # lpips scaling layer constants (input in [-1, 1])
+        self.shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        self.scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        # conv hyperparams of torchvision alexnet features
+        self.stride = (4, 1, 1, 1, 1)
+        self.pad = (2, 2, 1, 1, 1)
+        self.pool_after = (0, 1)  # maxpool3x3/2 after relu0 and relu1
+
+    def _features(self, x):
+        import torch.nn.functional as F
+        outs = []
+        for li in range(5):
+            x = F.conv2d(x, self.conv_w[li], self.conv_b[li],
+                         stride=self.stride[li], padding=self.pad[li])
+            x = F.relu(x)
+            outs.append(x)
+            if li in self.pool_after:
+                x = F.max_pool2d(x, 3, 2)
+        return outs
+
+    def __call__(self, a, b):
+        """a, b: (1, 3, H, W) torch tensors in [-1, 1]."""
+        import torch
+        with torch.no_grad():
+            fa = self._features((a - self.shift) / self.scale)
+            fb = self._features((b - self.shift) / self.scale)
+            total = 0.0
+            for xa, xb, lin in zip(fa, fb, self.lins):
+                na = xa / (xa.square().sum(1, keepdim=True).sqrt() + 1e-10)
+                nb = xb / (xb.square().sum(1, keepdim=True).sqrt() + 1e-10)
+                d = (na - nb).square()
+                total = total + (d * lin).sum(1).mean()
+        return total
+
+
+def lpips_weights_path() -> Optional[str]:
+    """Local LPIPS weight-file lookup: $UNISLAM_LPIPS_WEIGHTS, then the
+    default cache location."""
+    cand = [os.environ.get("UNISLAM_LPIPS_WEIGHTS", "")]
+    cand.append(os.path.expanduser("~/.cache/unislam/lpips_alex.pt"))
+    for p in cand:
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
 def try_lpips():
-    """LPIPS requires pretrained AlexNet weights; zero-egress environments
-    without a local cache get None (documented gap vs the reference)."""
+    """LPIPS requires pretrained AlexNet weights. Preference order: the
+    `lpips` package (manages its own cache), then a local weights file
+    (see _NativeLPIPS). Returns None — reported as 'unavailable', not
+    silently dropped — when neither exists."""
     try:
         import lpips  # type: ignore
         return lpips.LPIPS(net="alex")
     except Exception:
-        return None
+        pass
+    path = lpips_weights_path()
+    if path is not None:
+        try:
+            return _NativeLPIPS(path)
+        except Exception as e:
+            print(f"lpips: failed to load local weights {path}: {e}")
+    return None
 
 
 def eval_rendering(slam, output: str, every: int = 5,
@@ -347,8 +436,10 @@ def eval_rendering(slam, output: str, every: int = 5,
     results = {
         "avg_ms_ssim": round(ssim_sum / frame_cnt, 4),
         "avg_psnr": round(psnr_sum / frame_cnt, 4),
+        # honest annotation instead of silent None (VERDICT r3 #7)
         "avg_lpips": (round(lpips_sum / frame_cnt, 4)
-                      if lpips_model is not None else None),
+                      if lpips_model is not None
+                      else "unavailable (no local weights)"),
         "depth_l1_render": round(depth_l1 / frame_cnt, 4),
     }
     print(results)
