@@ -1,11 +1,14 @@
 """Multi-process worker for tests/test_multihost.py.
 
 Run as:  python tests/multihost_worker.py <port> <nproc> <pid> <ndev> <out>
+         [mode]
 
 Initializes jax.distributed on the CPU backend with `ndev` virtual devices
-per process, builds the shared tiny mapping problem on the GLOBAL
-('rays',) mesh, runs one step, and (on process 0) writes the loss and
-per-leaf param checksums as JSON — compared by the test against a
+per process and drives the shared tiny problem on the GLOBAL ('rays',)
+mesh. mode="step" (default): one mapping step, writes loss + per-leaf param
+checksums. mode="slam": N frames of the tiny end-to-end SLAM loop
+(track + selection + map + keyframe adds, sim.run_tiny_slam), writes the
+trajectory. Process 0 writes JSON; the test compares against a
 single-process run with the same total device count.
 """
 
@@ -16,6 +19,7 @@ import sys
 
 def main():
     port, nproc, pid, ndev, out_path = sys.argv[1:6]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "step"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_force_host_platform_device_count={ndev}")
@@ -36,6 +40,18 @@ def main():
     from unislam_tpu.parallel import sim
 
     mesh = dist.global_ray_mesh()
+
+    if mode == "slam":
+        est7, losses = sim.run_tiny_slam(mesh=mesh, n_frames=6,
+                                         multiprocess=True)
+        if my_pid == 0:
+            with open(out_path, "w") as f:
+                json.dump({"est7": est7.tolist(), "losses": losses,
+                           "n_global_devices": jax.device_count(),
+                           "n_processes": jax.process_count()}, f)
+        print(f"worker {my_pid} slam done", flush=True)
+        return
+
     p = sim.build_tiny_mapping_problem(mesh=mesh)
     # every jit input must be a global array in multi-process mode
     rep = lambda t: dist.replicate(mesh, t)

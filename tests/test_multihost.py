@@ -68,6 +68,38 @@ def test_two_processes_match_single_process(two_process_result):
                                    err_msg=name)
 
 
+@pytest.mark.slow
+def test_two_process_e2e_slam_matches_single(tmp_path):
+    """VERDICT r3 #6: N frames of the tiny SLAM loop (tracking + selection
+    + mapping + keyframe adds) across 2 real processes must reproduce the
+    single-process 8-device trajectory."""
+    out = str(tmp_path / "slam.json")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), "2", str(pid), "4", out, "slam"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    with open(out) as f:
+        res = json.load(f)
+    assert res["n_processes"] == 2 and res["n_global_devices"] == 8
+
+    from unislam_tpu.parallel import sharding as sh
+    from unislam_tpu.parallel import sim
+    est_ref, losses_ref = sim.run_tiny_slam(mesh=sh.make_mesh(8), n_frames=6)
+
+    est_mp = np.asarray(res["est7"], np.float32)
+    assert est_mp.shape == est_ref.shape
+    # cross-process gloo reductions reassociate differently from the local
+    # 8-device reduction; pose-scale differences stay at fp noise
+    np.testing.assert_allclose(est_mp, est_ref, atol=5e-4)
+    np.testing.assert_allclose(res["losses"], losses_ref, rtol=1e-4)
+
+
 def test_distributed_env_contract_no_env_is_noop():
     from unislam_tpu.parallel import distributed as dist
     for var in ("UNISLAM_COORDINATOR", "UNISLAM_NUM_PROCESSES",
