@@ -25,7 +25,33 @@ import numpy as np
 BASELINE_RAYS_PER_S = 8.0e5  # 2x estimated A100 reference throughput
 
 
+def best_recorded_vs_baseline(repo_dir: str) -> float:
+    """Best vs_baseline across the committed BENCH_r*.json history."""
+    import glob
+    import os
+    best = 0.0
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            best = max(best, float(rec.get("vs_baseline", 0.0)))
+        except Exception:
+            pass
+    return best
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--assert-floor", type=float, default=None, nargs="?",
+                    const=1.0, metavar="MIN_VS_BASELINE",
+                    help="exit 1 if vs_baseline falls below MIN (default "
+                         "1.0) OR below 0.95x the best committed "
+                         "BENCH_r*.json — the regression guard VERDICT r3 "
+                         "#4 asked for")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -164,6 +190,19 @@ def main():
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }), file=sys.stderr)
+
+    if args.assert_floor is not None:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        hist = best_recorded_vs_baseline(repo)
+        floor = max(args.assert_floor, 0.95 * hist)
+        if result["vs_baseline"] < floor:
+            print(f"BENCH FLOOR VIOLATION: vs_baseline "
+                  f"{result['vs_baseline']} < floor {floor:.3f} "
+                  f"(min {args.assert_floor}, 0.95 x best history {hist})",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"bench floor ok: {result['vs_baseline']} >= {floor:.3f}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--grid_json", default=None,
                     help="JSON dict merged into the grid config section "
                          '(ablations), e.g. \'{"brick_levels": 4}\'')
+    ap.add_argument("--map_json", default=None,
+                    help="JSON dict merged into the mapping config section, "
+                         'e.g. \'{"adam_state_dtype": "float32"}\'')
     ap.add_argument("--track_json", default=None,
                     help="JSON dict merged into the tracking config section")
     ap.add_argument("--render_json", default=None,
@@ -141,10 +144,13 @@ def main():
         tracking.setdefault("lod_split", "coarse2")
     if args.track_json:
         tracking.update(json.loads(args.track_json))
+    mapping = {"pixels": int(4000 * px), "iters": 15, "iters_first": 25,
+               "every_frame": 4, "keyframe_every": 4}
+    if args.map_json:
+        mapping.update(json.loads(args.map_json))
     cfg = make_config(ds, {
         "tracking": tracking,
-        "mapping": {"pixels": int(4000 * px), "iters": 15, "iters_first": 25,
-                    "every_frame": 4, "keyframe_every": 4},
+        "mapping": mapping,
         "rendering": rendering,
         "grid": grid,
         # meshing at 2 cm at full scale; coarser for smoke tests

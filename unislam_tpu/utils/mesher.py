@@ -98,6 +98,25 @@ class Mesher:
                         params, sc, scene_lib.normalize_points(sc, pts),
                         levels=coarse))
 
+        # Hierarchical two-pass for hash mode (no LOD contract there — all
+        # levels train everywhere, but the 16-level x 8-corner gather per
+        # point makes a full-resolution grid sweep ~6x slower than brick's;
+        # the round-3 parity run timed out in exactly this sweep). Pass 1
+        # evaluates the FULL ladder on a stride-s subgrid; pass 2 re-queries
+        # full-res only inside the dilated near-surface band. Safe because
+        # the trained field is tanh(sdf/truncation): the |sdf| < band
+        # transition zone spans ~2*truncation, which covers >= 2 coarse
+        # cells at the stride chosen below, so no crossing can hide between
+        # coarse samples.
+        self._hier_two_pass = (
+            sc.encoding != "brick"
+            and bool(cfg.get("meshing", {}).get("hierarchical", True)))
+        self._hier_band = float(cfg.get("meshing", {}).get("coarse_band", 0.9))
+        # stride such that stride * resolution <= truncation (default 4 at
+        # Replica's 1 cm voxels / 6 cm truncation)
+        self._hier_stride = max(2, min(
+            4, int(sc.truncation / max(self.resolution, 1e-6))))
+
     # ------------------------------------------------------------------
     def grid_axes(self):
         """Axis samples mirroring get_grid_uniform (Mesher.py:168-195)."""
@@ -158,6 +177,47 @@ class Mesher:
         return SceneBound(pts, self.mesh_bound_scale)
 
     # ------------------------------------------------------------------
+    def _eval_grid_hierarchical(self, pts: np.ndarray, params, shape,
+                                verbose: bool) -> np.ndarray:
+        """Hierarchical full-ladder grid eval (hash mode): stride-s coarse
+        sweep, nearest-fill of the far region, full-res re-query inside the
+        dilated near-surface band. See __init__ for the safety argument."""
+        from scipy.ndimage import binary_dilation
+
+        nx, ny, nz = shape
+        s = self._hier_stride
+        grid = pts.reshape(nx, ny, nz, 3)
+        # strided subgrid, always including the last sample per axis so the
+        # coarse sweep covers the full bounds
+        ix = np.unique(np.r_[np.arange(0, nx, s), nx - 1])
+        iy = np.unique(np.r_[np.arange(0, ny, s), ny - 1])
+        iz = np.unique(np.r_[np.arange(0, nz, s), nz - 1])
+        coarse_pts = grid[np.ix_(ix, iy, iz)].reshape(-1, 3)
+        sdf_c = self.eval_points(coarse_pts, params, sdf_only=True).reshape(
+            len(ix), len(iy), len(iz))
+
+        near_c = binary_dilation(
+            np.abs(sdf_c - self.level_set) < self._hier_band, iterations=2)
+        # nearest-neighbour upsample of the coarse field + band mask to
+        # full resolution: axis i's full index maps to coarse cell i // s
+        # (clipped); far cells keep the interpolated sign-correct value
+        mx = np.minimum(np.arange(nx) // s, len(ix) - 1)
+        my = np.minimum(np.arange(ny) // s, len(iy) - 1)
+        mz = np.minimum(np.arange(nz) // s, len(iz) - 1)
+        sdf = sdf_c[np.ix_(mx, my, mz)].astype(np.float32)
+        near = near_c[np.ix_(mx, my, mz)]
+
+        idx = np.flatnonzero(near.ravel())
+        if verbose:
+            frac = 100.0 * (len(coarse_pts) + len(idx)) / max(len(pts), 1)
+            print(f"meshing hierarchical: coarse {len(coarse_pts)} + fine "
+                  f"{len(idx)} of {len(pts)} grid points ({frac:.1f}%)")
+        if len(idx):
+            sdf.ravel()[idx] = self.eval_points(pts[idx], params,
+                                                sdf_only=True)
+        return sdf
+
+    # ------------------------------------------------------------------
     def get_mesh(self, mesh_out_file: str, params, bank=None,
                  color: bool = True, verbose: bool = False) -> Optional[str]:
         """Extract, color, cull, and save the mesh (Mesher.get_mesh,
@@ -183,6 +243,13 @@ class Mesher:
                 # pass 2: full ladder only near the coarse surface band
                 sdf.ravel()[idx] = self.eval_points(pts[idx], params,
                                                     sdf_only=True)
+        elif self._hier_two_pass and len(pts) >= 2_000_000:
+            # below ~2M grid points the dense sweep is a couple of batches
+            # anyway and small scenes are mostly near-surface band, so the
+            # coarse pass would only add work (measured 108% on the 10-frame
+            # fake-replica smoke scene)
+            sdf = self._eval_grid_hierarchical(pts, params, (nx, ny, nz),
+                                               verbose)
         else:
             sdf = self.eval_points(pts, params,
                                    sdf_only=True).reshape(nx, ny, nz)
