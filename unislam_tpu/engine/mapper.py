@@ -61,11 +61,14 @@ class MapperConfig(NamedTuple):
     extra_newest: int = 10
     mask_mode: str = "original"
     # Moment-state dtype for the grid-table Adam groups ("bfloat16" with
-    # stochastic rounding, or "float32" = exact optax.adam). bf16 state cuts
-    # ~30% of the HBM bytes of the per-iter Adam sweep over the table
-    # (0.90 ms/iter at room0 scale, round-3 trace); see core/optim.py for
-    # why plain rounding would stall the nu EMA and how SR fixes it.
-    adam_state_dtype: str = "bfloat16"
+    # stochastic rounding, or "float32" = exact optax.adam). bf16-SR state
+    # cuts ~30% of the per-iter Adam-sweep HBM bytes (~0.2 ms/iter at room0
+    # scale) but the round-4 same-code A/B measured a consistent small
+    # quality cost (ATE 1.94 -> 2.20 cm, PSNR 33.8 -> 33.4, depth-L1
+    # 1.69 -> 1.88 cm; BASELINE.md) — ~1.3% combined throughput is not
+    # worth 13% ATE, so f32 is the default and bf16 is opt-in. The
+    # reference keeps f32 Adam state everywhere (src/Mapper.py:111-139).
+    adam_state_dtype: str = "float32"
 
 
 def from_cfg(cfg) -> MapperConfig:
@@ -83,7 +86,7 @@ def from_cfg(cfg) -> MapperConfig:
         w_sdf_fs=m["w_sdf_fs"], w_sdf_center=m["w_sdf_center"],
         w_sdf_tail=m["w_sdf_tail"], w_depth=m["w_depth"],
         w_color=m["w_color"], mask_mode=cfg.get("m_mask_mode", "original"),
-        adam_state_dtype=m.get("adam_state_dtype", "bfloat16"),
+        adam_state_dtype=m.get("adam_state_dtype", "float32"),
     )
 
 
