@@ -76,7 +76,7 @@ def main():
         # no level is matmul-hashed); tracking reads the mid level everywhere
         # (coarse2) — the per-phase split that fixed the room0-scale tracked
         # ATE to 2.03 cm (beats hash parity 2.68), BENCHLOG.md round 3
-        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12,
+        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 8,
                       "n_fine_mid": 4, "lod_split": "cost"},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,

@@ -65,7 +65,7 @@ def main():
     ap.add_argument("--gt_camera", action="store_true",
                     help="disable tracking (map-quality ablation)")
     ap.add_argument("--track_iters", type=int, default=8)
-    ap.add_argument("--n_fine", type=int, default=12,
+    ap.add_argument("--n_fine", type=int, default=8,
                     help="surface-LOD samples for brick mode (0 = all "
                          "levels on all samples)")
     ap.add_argument("--grid_json", default=None,
