@@ -146,6 +146,12 @@ def main():
         tracking.update(json.loads(args.track_json))
     mapping = {"pixels": int(4000 * px), "iters": 15, "iters_first": 25,
                "every_frame": 4, "keyframe_every": 4}
+    if args.encoding == "hash":
+        # hash map iters are ~40 ms each; a 15-25-iter fused dispatch is
+        # long enough to trip the TPU runtime's execution watchdog
+        # (reproduced 3x at frame 0, round 4). <=8 iters/dispatch is
+        # stable; numerics identical via map_phase's iter0 key offset.
+        mapping.setdefault("max_fused_iters", 8)
     if args.map_json:
         mapping.update(json.loads(args.map_json))
     cfg = make_config(ds, {

@@ -279,3 +279,33 @@ def test_e2e_multidevice_slam_matches_single():
     _, res_1 = evaluate_ate(slam_1.gt_c2w[:, :3, 3], est_1[:, :3, 3])
     assert res_m["error.rmse"] < 5.0, res_m
     assert abs(res_m["error.rmse"] - res_1["error.rmse"]) < 1.0, (res_m, res_1)
+
+
+def test_chunked_map_phase_matches_fused():
+    """mc.max_fused_iters splits the fused phase into several dispatches;
+    the iter0 key offset must make the chunked run bit-identical to one
+    fused dispatch (same ray draws, same updates)."""
+    import jax.numpy as jnp
+
+    from unislam_tpu.data.synthetic import SyntheticRoom, make_config
+    intr = Intrinsics(H=24, W=32, fx=30.0, fy=30.0, cx=15.5, cy=11.5)
+    ds = SyntheticRoom(n_frames=3, intr=intr)
+    base = {
+        "tracking": {"pixels": 100, "iters": 2, "ignore_edge_W": 3,
+                     "ignore_edge_H": 3},
+        "mapping": {"pixels": 200, "iters": 6, "iters_first": 6,
+                    "every_frame": 2, "keyframe_every": 2},
+        "rendering": {"n_stratified": 8, "n_importance": 4},
+    }
+    cfg_f = make_config(ds, base)
+    cfg_c = make_config(ds, dict(base, mapping=dict(base["mapping"],
+                                                    max_fused_iters=2)))
+    slam_f = UniSLAM(cfg_f, ds, seed=0)
+    slam_c = UniSLAM(cfg_c, ds, seed=0)
+    assert slam_c.mc.max_fused_iters == 2
+    ef = slam_f.run(progress=False)
+    ec = slam_c.run(progress=False)
+    np.testing.assert_array_equal(ec, ef)
+    for k in ("sdf_table", "color_table"):
+        np.testing.assert_array_equal(np.asarray(slam_c.params[k]),
+                                      np.asarray(slam_f.params[k]))

@@ -60,6 +60,11 @@ class MapperConfig(NamedTuple):
     extra_rays: int = 200
     extra_newest: int = 10
     mask_mode: str = "original"
+    # Upper bound on fori_loop iterations per fused map_phase dispatch
+    # (0 = unlimited). Long single dispatches (hash mode: 15 iters x
+    # ~40 ms) can trip the TPU runtime's execution watchdog; chunked
+    # dispatches draw identical ray batches via map_phase's iter0 arg.
+    max_fused_iters: int = 0
     # Moment-state dtype for the grid-table Adam groups ("bfloat16" with
     # stochastic rounding, or "float32" = exact optax.adam). bf16-SR state
     # cuts ~30% of the per-iter Adam-sweep HBM bytes (~0.2 ms/iter at room0
@@ -86,6 +91,7 @@ def from_cfg(cfg) -> MapperConfig:
         w_sdf_fs=m["w_sdf_fs"], w_sdf_center=m["w_sdf_center"],
         w_sdf_tail=m["w_sdf_tail"], w_depth=m["w_depth"],
         w_color=m["w_color"], mask_mode=cfg.get("m_mask_mode", "original"),
+        max_fused_iters=int(m.get("max_fused_iters", 0)),
         adam_state_dtype=m.get("adam_state_dtype", "float32"),
     )
 
@@ -263,14 +269,19 @@ def make_mapping_step(sc: SceneConfig, rc: RenderConfig, mc: MapperConfig,
     @partial(jax.jit, donate_argnums=(0, 1))
     def map_phase(opt_tree, opt_state, bank, cur_depth, cur_color,
                   cur_rays_d, sel_probs, extra_probs, pose_grad_mask, key,
-                  n_iters, lr_scale):
+                  n_iters, lr_scale, iter0=jnp.int32(0)):
         """Whole mapping phase in ONE device dispatch: `n_iters`
         (dynamic, lax.fori_loop) Adam iterations over the window batch
-        (the reference's joint_iter loop, Mapper.py:366-445)."""
+        (the reference's joint_iter loop, Mapper.py:366-445).
+
+        `iter0` offsets the per-iteration key folding so a phase split
+        across several dispatches (mc.max_fused_iters, used to bound
+        single-dispatch duration on hash-mode graphs) draws the exact same
+        ray batches as one fused dispatch."""
 
         def body(i, carry):
             opt_tree, opt_state, _ = carry
-            it_key = jax.random.fold_in(key, i)
+            it_key = jax.random.fold_in(key, iter0 + i)
             loss, grads = jax.value_and_grad(loss_fn)(
                 opt_tree, bank, cur_depth, cur_color, cur_rays_d,
                 sel_probs, extra_probs, pose_grad_mask, it_key)

@@ -357,11 +357,22 @@ class UniSLAM:
         else:
             # whole mapping phase in one fused device dispatch; the first
             # phase's x5 LR factor rides the runtime lr_scale argument (one
-            # compiled program for both, see make_mapping_step)
-            opt_tree, opt_state, loss = self.map_phase(
-                opt_tree, opt_state, self.bank, depth_img, color_img,
-                self.cam_rays_d, probs_j, extra_j, mask_j, self._next_key(),
-                jnp.int32(iters), jnp.float32(lr_scale))
+            # compiled program for both, see make_mapping_step). A
+            # max_fused_iters bound splits the phase into several
+            # dispatches with identical numerics (iter0 keeps the key
+            # schedule): long hash-mode dispatches can trip the TPU
+            # runtime's execution watchdog.
+            key = self._next_key()
+            chunk = self.mc.max_fused_iters or int(iters)
+            done = 0
+            loss = jnp.float32(0.0)
+            while done < int(iters):
+                n = min(chunk, int(iters) - done)
+                opt_tree, opt_state, loss = self.map_phase(
+                    opt_tree, opt_state, self.bank, depth_img, color_img,
+                    self.cam_rays_d, probs_j, extra_j, mask_j, key,
+                    jnp.int32(n), jnp.float32(lr_scale), jnp.int32(done))
+                done += n
 
         self.params = opt_tree["scene"]
         if joint_opt:

@@ -100,32 +100,42 @@ def init_table(key: jax.Array, spec: HashGridSpec,
         minval=-1e-4, maxval=1e-4)
 
 
+# (8, 3) corner offsets in {0,1}^3 (meshgrid 'ij': x varies slowest)
+_CORNERS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
+                    axis=-1).reshape(8, 3).astype(np.int32)
+
+
 def _corner_indices(spec: HashGridSpec, pos_grid: jnp.ndarray) -> jnp.ndarray:
     """Flat table indices for the 8 corners of each point at each level.
 
     pos_grid: (L, N, 3) int32 floor coordinates. Returns (L, N, 8) int32
     indices *including* per-level offsets into the flat table.
-    """
-    L, N, _ = pos_grid.shape
-    # (8, 3) corner offsets in {0,1}^3
-    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
-                      axis=-1).reshape(8, 3).astype(np.int32)
-    res = jnp.asarray(spec.resolutions)[:, None, None, None]       # (L,1,1,1)
-    coords = pos_grid[:, :, None, :] + corner[None, None, :, :]    # (L,N,8,3)
-    coords = jnp.clip(coords, 0, res - 1)
 
-    ucoords = coords.astype(jnp.uint32)
-    # Hashed path: xor of prime-multiplied coords, modulo table size.
-    h = (ucoords[..., 0] * np.uint32(_PRIMES[0])) ^ \
-        (ucoords[..., 1] * np.uint32(_PRIMES[1])) ^ \
-        (ucoords[..., 2] * np.uint32(_PRIMES[2]))
-    hash_idx = (h & np.uint32((1 << spec.log2_hashmap_size) - 1)).astype(jnp.int32)
-    # Dense path: x + y*res + z*res^2.
-    res_i = jnp.asarray(spec.resolutions)[:, None, None]           # (L,1,1)
-    dense_idx = (coords[..., 0] + coords[..., 1] * res_i +
-                 coords[..., 2] * res_i * res_i)
-    hashed = jnp.asarray(spec.hashed)[:, None, None]
-    idx = jnp.where(hashed, hash_idx, dense_idx)
+    Built per AXIS, combining the two (L, N) candidates per axis into the
+    8 corners by static stacking — the earlier (L, N, 8, 3) coordinate
+    temp put the size-3 axis in a padded minor dim and blew up 16x on TPU
+    (10.7 GB at the mesher's 500k-point batches; round-4 OOM).
+    """
+    res = jnp.asarray(spec.resolutions)[:, None]                   # (L,1)
+    res3 = jnp.asarray(spec.resolutions)[:, None]
+    # per-axis clipped corner coordinates: axis a, offset b -> (L, N)
+    c = [[jnp.clip(pos_grid[:, :, a] + b, 0, res - 1) for b in (0, 1)]
+         for a in range(3)]
+    mask = np.uint32((1 << spec.log2_hashmap_size) - 1)
+
+    def corner_idx(bx, by, bz):
+        x, y, z = c[0][bx], c[1][by], c[2][bz]
+        # hashed: xor of prime-multiplied coords, modulo table size
+        h = ((x.astype(jnp.uint32) * np.uint32(_PRIMES[0]))
+             ^ (y.astype(jnp.uint32) * np.uint32(_PRIMES[1]))
+             ^ (z.astype(jnp.uint32) * np.uint32(_PRIMES[2])))
+        hash_idx = (h & mask).astype(jnp.int32)
+        dense_idx = x + y * res3 + z * res3 * res3
+        return jnp.where(jnp.asarray(spec.hashed)[:, None],
+                         hash_idx, dense_idx)                      # (L,N)
+
+    idx = jnp.stack([corner_idx(*_CORNERS[k]) for k in range(8)],
+                    axis=-1)                                       # (L,N,8)
     # Guard dense levels whose aligned size < res^3 can't happen (size is
     # rounded up), but clamp against per-level size for safety.
     sizes = jnp.asarray(spec.level_sizes.astype(np.int32))[:, None, None]
@@ -134,12 +144,11 @@ def _corner_indices(spec: HashGridSpec, pos_grid: jnp.ndarray) -> jnp.ndarray:
 
 
 def _interp_weights(frac: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear corner weights. frac: (L, N, 3) -> (L, N, 8)."""
-    corner = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"),
-                      axis=-1).reshape(8, 3).astype(np.float32)
-    f = frac[:, :, None, :]                                        # (L,N,1,3)
-    w = jnp.where(corner[None, None] > 0, f, 1.0 - f)              # (L,N,8,3)
-    return jnp.prod(w, axis=-1)
+    """Trilinear corner weights. frac: (L, N, 3) -> (L, N, 8), assembled
+    per axis (see _corner_indices for why no (L, N, 8, 3) temp)."""
+    w = [[1.0 - frac[:, :, a], frac[:, :, a]] for a in range(3)]
+    return jnp.stack([w[0][bx] * w[1][by] * w[2][bz]
+                      for bx, by, bz in _CORNERS], axis=-1)
 
 
 def encode(table: jnp.ndarray, points: jnp.ndarray,
