@@ -25,6 +25,23 @@ import numpy as np
 BASELINE_RAYS_PER_S = 8.0e5  # 2x estimated A100 reference throughput
 
 
+def _extract_vs_baseline(rec) -> float:
+    """vs_baseline from a BENCH record: either this script's raw JSON line
+    or the driver's wrapper ({"cmd", "rc", "tail": <stdout>})."""
+    if "vs_baseline" in rec:
+        return float(rec["vs_baseline"])
+    best = 0.0
+    for line in str(rec.get("tail", "")).splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                inner = json.loads(line)
+                best = max(best, float(inner.get("vs_baseline", 0.0)))
+            except Exception:
+                pass
+    return best
+
+
 def best_recorded_vs_baseline(repo_dir: str) -> float:
     """Best vs_baseline across the committed BENCH_r*.json history."""
     import glob
@@ -33,8 +50,7 @@ def best_recorded_vs_baseline(repo_dir: str) -> float:
     for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         try:
             with open(p) as f:
-                rec = json.load(f)
-            best = max(best, float(rec.get("vs_baseline", 0.0)))
+                best = max(best, _extract_vs_baseline(json.load(f)))
         except Exception:
             pass
     return best
