@@ -50,13 +50,19 @@ def main():
         yaml.safe_dump(cfg, f)
     repo = os.path.dirname(os.path.abspath(__file__))
     snap = os.path.join(output, "src_snapshot")
-    if os.path.isdir(snap):
-        shutil.rmtree(snap)
-    shutil.copytree(os.path.join(repo, "unislam_tpu"),
-                    os.path.join(snap, "unislam_tpu"),
-                    ignore=shutil.ignore_patterns("__pycache__", "*.pyc",
-                                                  "*.so"))
-    shutil.copy2(os.path.abspath(__file__), snap)
+    if args.resume and os.path.isdir(snap):
+        # keep the snapshot of the code that produced the earlier frames;
+        # overwriting it on --resume would defeat its reproducibility
+        # purpose (ADVICE r4)
+        print(f"--resume: keeping existing source snapshot {snap}")
+    else:
+        if os.path.isdir(snap):
+            shutil.rmtree(snap)
+        shutil.copytree(os.path.join(repo, "unislam_tpu"),
+                        os.path.join(snap, "unislam_tpu"),
+                        ignore=shutil.ignore_patterns("__pycache__", "*.pyc",
+                                                      "*.so"))
+        shutil.copy2(os.path.abspath(__file__), snap)
 
     runtime = SLAMRuntime(cfg, input_folder=args.input_folder, output=output,
                           n_frames=args.n_frames)

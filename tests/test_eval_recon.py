@@ -50,7 +50,8 @@ def test_lpips_unavailable_without_weights(monkeypatch):
 
 def test_calc_2d_metric_skips_exhausted_views(tmp_path, monkeypatch):
     """When no sampled view ever passes the unseen-region test, the metric
-    must skip views (NaN if none valid) rather than score leaking views."""
+    must skip views (null result if none valid) rather than score leaking
+    views."""
     from unislam_tpu.utils.mesh_io import write_ply
 
     # tiny closed-ish mesh (single triangle is enough for the rasterizer)
@@ -66,4 +67,4 @@ def test_calc_2d_metric_skips_exhausted_views(tmp_path, monkeypatch):
     monkeypatch.setattr(eval_recon, "_sees",
                         lambda *a, **k: True)  # every view is invalid
     out = eval_recon.calc_2d_metric(rec, gt, align=False, n_imgs=3)
-    assert np.isnan(out["Depth L1: "])
+    assert out["Depth L1: "] is None  # JSON null, not NaN (ADVICE r4)

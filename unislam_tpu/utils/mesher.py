@@ -108,14 +108,19 @@ class Mesher:
         # transition zone spans ~2*truncation, which covers >= 2 coarse
         # cells at the stride chosen below, so no crossing can hide between
         # coarse samples.
+        # stride such that stride * resolution <= truncation (default 4 at
+        # Replica's 1 cm voxels / 6 cm truncation). When the meshing
+        # resolution is so coarse that even stride 2 would violate the
+        # invariant (truncation/resolution < 2), the hierarchical pass is
+        # DISABLED rather than run with a stride that could let a thin
+        # surface slip between coarse samples (ADVICE r4).
+        safe_stride = int(sc.truncation / max(self.resolution, 1e-6))
         self._hier_two_pass = (
             sc.encoding != "brick"
-            and bool(cfg.get("meshing", {}).get("hierarchical", True)))
+            and bool(cfg.get("meshing", {}).get("hierarchical", True))
+            and safe_stride >= 2)
         self._hier_band = float(cfg.get("meshing", {}).get("coarse_band", 0.9))
-        # stride such that stride * resolution <= truncation (default 4 at
-        # Replica's 1 cm voxels / 6 cm truncation)
-        self._hier_stride = max(2, min(
-            4, int(sc.truncation / max(self.resolution, 1e-6))))
+        self._hier_stride = min(4, max(2, safe_stride))
 
     # ------------------------------------------------------------------
     def grid_axes(self):
