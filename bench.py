@@ -146,12 +146,12 @@ def main():
     iters_j = jnp.int32(t_iters)
     out = slam.track_frame_fn(slam.params, pose, opt_state, depth, color,
                               slam._next_key(), iters_j)
-    out[1].block_until_ready()  # warm
+    out[3].block_until_ready()  # warm
     t0 = time.time()
     for _ in range(reps * 3):
         out = slam.track_frame_fn(slam.params, pose, opt_state, depth, color,
                                   slam._next_key(), iters_j)
-    out[1].block_until_ready()
+    out[3].block_until_ready()
     track_time = time.time() - t0
     track_ray_count = reps * 3 * t_iters * track_rays
 

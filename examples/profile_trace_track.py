@@ -69,14 +69,14 @@ def main():
 
     out = slam.track_frame_fn(slam.params, pose, opt_state, depth, color,
                               slam._next_key(), it)
-    out[1].block_until_ready()
+    out[3].block_until_ready()
 
     n_reps = 6
     with jax.profiler.trace(outdir):
         for _ in range(n_reps):
             out = slam.track_frame_fn(slam.params, pose, opt_state, depth,
                                       color, slam._next_key(), it)
-        out[1].block_until_ready()
+        out[3].block_until_ready()
 
     import glob
     paths = glob.glob(outdir + "/**/*.xplane.pb", recursive=True)

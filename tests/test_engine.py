@@ -309,3 +309,87 @@ def test_chunked_map_phase_matches_fused():
     for k in ("sdf_table", "color_table"):
         np.testing.assert_array_equal(np.asarray(slam_c.params[k]),
                                       np.asarray(slam_f.params[k]))
+
+
+def test_tracking_midframe_doubling_extends_current_frame():
+    """The activated-mapping trigger extends the CURRENT frame's tracking
+    loop to 2x iters (reference Tracker.py:352-357: `while cam_iter <
+    num_cam_iters` re-enters after num_cam_iters is doubled mid-loop), and
+    the trigger is re-checked at the new penultimate iteration."""
+    intr = Intrinsics(H=24, W=32, fx=30.0, fy=30.0, cx=15.5, cy=11.5)
+    ds = SyntheticRoom(n_frames=6, intr=intr)
+    cfg = make_config(ds, {
+        "tracking": {"pixels": 50, "iters": 3, "ignore_edge_W": 2,
+                     "ignore_edge_H": 2,
+                     # always above threshold -> every check fires
+                     "uncertainty_ts": -1.0},
+        "rendering": {"n_stratified": 8, "n_importance": 4},
+    })
+    slam = UniSLAM(cfg, ds, seed=0)
+    for i in range(3):
+        _, _, gt = ds[i]
+        slam.est_c2w[i] = gt
+
+    calls = []
+    orig = slam.track_frame_fn
+
+    def spy(*args):
+        calls.append((int(args[6]), int(args[7]) if len(args) > 7 else 0))
+        return orig(*args)
+
+    slam.track_frame_fn = spy
+    color, depth, _ = ds[3]
+    slam.track_frame(3, jnp.asarray(depth), jnp.asarray(color))
+    # triggered frame: base dispatch + same-frame continuation (schedule
+    # index continues, so the pair is bit-identical to one 2x dispatch)
+    assert calls == [(3, 0), (3, 3)]
+    assert slam.additional_map_records[3] == 1
+    # the re-check also fired -> doubled state persists for the next frame
+    assert slam.tracking_back and slam.t_iters == 6 and \
+        slam.m_iters == 2 * slam.mc.iters
+
+    # next frame starts already-doubled: ONE dispatch of 2x iters, no
+    # further extension (the reference's single check at cam_iter == 15)
+    calls.clear()
+    color, depth, _ = ds[4]
+    slam.track_frame(4, jnp.asarray(depth), jnp.asarray(color))
+    assert calls == [(6, 0)]
+
+    # an untriggered frame runs the base count and resets the state
+    slam.tc = slam.tc._replace(uncertainty_ts=1e9)
+    slam.t_iters = 3
+    slam.tracking_back = False
+    calls.clear()
+    color, depth, _ = ds[5]
+    slam.track_frame(5, jnp.asarray(depth), jnp.asarray(color))
+    assert calls == [(3, 0)]
+    assert not slam.tracking_back and slam.t_iters == 3
+
+
+def test_track_frame_continuation_bit_identical():
+    """Two chained track_frame_fn dispatches (iter0 carries the key
+    schedule) reproduce one fused dispatch of the combined length exactly."""
+    intr = Intrinsics(H=24, W=32, fx=30.0, fy=30.0, cx=15.5, cy=11.5)
+    ds = SyntheticRoom(n_frames=3, intr=intr)
+    cfg = make_config(ds, {
+        "tracking": {"pixels": 50, "iters": 4, "ignore_edge_W": 2,
+                     "ignore_edge_H": 2},
+        "rendering": {"n_stratified": 8, "n_importance": 4},
+    })
+    slam = UniSLAM(cfg, ds, seed=0)
+    color, depth, gt = ds[1]
+    color, depth = jnp.asarray(color), jnp.asarray(depth)
+    pose7 = pose_lib.matrix_to_cam_pose(jnp.asarray(gt)[None])[0]
+    pose = {"R": pose7[:4], "T": pose7[4:]}
+    opt_state = slam.track_opt.init(pose)
+    key = jax.random.PRNGKey(7)
+
+    fused = slam.track_frame_fn(slam.params, pose, opt_state, depth, color,
+                                key, jnp.int32(8))
+    s1 = slam.track_frame_fn(slam.params, pose, opt_state, depth, color,
+                             key, jnp.int32(4))
+    s2 = slam.track_frame_fn(slam.params, s1[0], s1[1], depth, color,
+                             key, jnp.int32(4), jnp.int32(4), s1[2:])
+    for a, b in zip(jax.tree_util.tree_leaves(fused),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

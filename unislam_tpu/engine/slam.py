@@ -232,25 +232,40 @@ class UniSLAM:
 
         pose = {"R": pose7[:4], "T": pose7[4:]}
         opt_state = self.track_opt.init(pose)
+        key = self._next_key()
 
         vis = self.tracking_iter_vis
-        if vis is not None and vis.wants(idx):
-            best7, min_loss, unc_prev, unc_last = self._track_instrumented(
-                idx, pose, opt_state, depth_img, color_img, vis)
-        else:
-            # whole-frame tracking in one fused device dispatch
-            best7, min_loss, unc_prev, unc_last = self.track_frame_fn(
-                self._tracking_params(), pose, opt_state, depth_img,
-                color_img, self._next_key(), jnp.int32(self.t_iters))
+        use_vis = vis is not None and vis.wants(idx)
+        n1 = int(self.t_iters)
+        state = self._run_tracking(idx, pose, opt_state, depth_img,
+                                   color_img, key, n1, 0, None,
+                                   vis if use_vis else None)
 
-        # penultimate-iteration uncertainty drives activated mapping
-        # (Tracker.py:350-363 records at cam_iter == num_cam_iters-1 after
-        # the increment, i.e. the second-to-last iteration's value)
+        # activated-mapping trigger (Tracker.py:350-363): checked at
+        # cam_iter == num_cam_iters-1 using the PENULTIMATE iteration's
+        # uncertainty (unc_prev). A first-time fire (this frame started at
+        # the base iteration count) extends the CURRENT frame's loop
+        # 8 -> 16 — a second dispatch continues the same frame with the
+        # key schedule intact (bit-identical to one fused 16-iter
+        # dispatch) — and the trigger is RE-CHECKED at the new
+        # penultimate iteration, which decides tracking_back / doubled
+        # iters for this frame's mapping phase and the next frame
+        # (Tracker.py:352-363: the while-loop re-enters the
+        # cam_iter == num_cam_iters-1 branch at 15).
         if idx > 0:
-            mean_unc = float(unc_prev)
+            mean_unc = float(state[4])
+            triggered = (self.tc.activated_mapping_mode
+                         and mean_unc > self.tc.uncertainty_ts)
+            if triggered and n1 == self.tc.iters:
+                self.additional_map_records[idx] = 1
+                state = self._run_tracking(
+                    idx, state[0], state[1], depth_img, color_img, key,
+                    self.tc.iters, n1, state[2:],
+                    vis if use_vis else None)
+                mean_unc = float(state[4])
+                triggered = mean_unc > self.tc.uncertainty_ts
             self.tracking_weights[idx] = mean_unc
-            if self.tc.activated_mapping_mode and \
-                    mean_unc > self.tc.uncertainty_ts:
+            if triggered:
                 self.t_iters = self.tc.iters * 2
                 self.m_iters = self.mc.iters * 2
                 self.tracking_back = True
@@ -260,25 +275,41 @@ class UniSLAM:
                 self.m_iters = self.mc.iters
                 self.tracking_back = False
 
+        best7 = state[2]
         return np.asarray(pose_lib.cam_pose_to_matrix(best7[None])[0])
 
-    def _track_instrumented(self, idx, pose, opt_state, depth_img, color_img,
-                            vis):
+    def _run_tracking(self, idx, pose, opt_state, depth_img, color_img, key,
+                      n_iters, iter0, carry, vis):
+        """Run `n_iters` tracking iterations starting at schedule index
+        `iter0`, fused (vis=None) or instrumented. Returns the full state
+        tuple (pose, opt_state, best7, min_loss, unc_prev, unc_last)."""
+        params = self._tracking_params()
+        if vis is None:
+            return self.track_frame_fn(params, pose, opt_state, depth_img,
+                                       color_img, key, jnp.int32(n_iters),
+                                       jnp.int32(iter0), carry)
+        return self._track_instrumented(idx, params, pose, opt_state,
+                                        depth_img, color_img, key, n_iters,
+                                        iter0, carry, vis)
+
+    def _track_instrumented(self, idx, params, pose, opt_state, depth_img,
+                            color_img, key, n_iters, iter0, carry, vis):
         """Per-iteration tracking with visualization callbacks: the Python
         loop over the single-iteration step reproduces the fused
         track_frame_fn exactly (same fold_in key schedule, best-of-iters
         pose, penultimate-iter uncertainty) while `vis` fires every
         `vis.inside_freq` iterations and on the last one (the reference
         renders at cam_iter == num_cam_iters-1, Tracker.py:336-338)."""
-        params = self._tracking_params()
-        key = self._next_key()
-        best7 = jnp.concatenate([pose["R"], pose["T"]])
-        min_loss = np.inf
-        unc_prev = unc_last = 0.0
-        n = int(self.t_iters)
-        for it in range(n):
+        if carry is None:
+            best7 = jnp.concatenate([pose["R"], pose["T"]])
+            min_loss, unc_prev, unc_last = np.inf, 0.0, 0.0
+        else:
+            best7, min_loss, unc_prev, unc_last = carry
+            min_loss, unc_prev, unc_last = (float(min_loss), float(unc_prev),
+                                            float(unc_last))
+        for it in range(iter0, iter0 + n_iters):
             cur7 = jnp.concatenate([pose["R"], pose["T"]])
-            if it % vis.inside_freq == 0 or it == n - 1:
+            if it % vis.inside_freq == 0 or it == iter0 + n_iters - 1:
                 vis(self, idx, it, cur7)
             pose, opt_state, loss, unc = self.track_step(
                 params, pose, opt_state, depth_img, color_img,
@@ -287,8 +318,8 @@ class UniSLAM:
             if loss < min_loss:
                 min_loss, best7 = loss, cur7
             unc_prev, unc_last = unc_last, float(unc)
-        return best7, jnp.float32(min_loss), jnp.float32(unc_prev), \
-            jnp.float32(unc_last)
+        return (pose, opt_state, best7, jnp.float32(min_loss),
+                jnp.float32(unc_prev), jnp.float32(unc_last))
 
     # ------------------------------------------------------------------
     def map_frame(self, idx: int, depth_img, color_img, gt_c2w: np.ndarray):

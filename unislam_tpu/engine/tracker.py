@@ -144,14 +144,23 @@ def make_tracking_step(sc: SceneConfig, rc: RenderConfig, tc: TrackerConfig,
 
     @jax.jit
     def track_frame(params, pose, opt_state, depth_img, color_img, key,
-                    n_iters):
+                    n_iters, iter0=0, carry=None):
         """Whole-frame tracking in ONE device dispatch: `n_iters` (dynamic,
         lax.fori_loop) optimization iterations, keeping the best-loss pose
-        (Tracker.py:331-365). Returns (best_pose7, final_loss, min_loss,
-        unc_penultimate, unc_last)."""
+        (Tracker.py:331-365).
 
-        def body(i, carry):
-            pose, opt_state, best7, min_loss, unc_prev, unc_last = carry
+        `iter0` + `carry=(best7, min_loss, unc_prev, unc_last)` continue the
+        SAME frame from a previous dispatch with an unchanged fold_in key
+        schedule, so two chained dispatches are bit-identical to one fused
+        dispatch of the combined length. The host driver uses this for the
+        reference's mid-loop activated-mapping doubling (Tracker.py:352-357:
+        the trigger extends the CURRENT frame's while-loop 8 -> 16).
+
+        Returns (pose, opt_state, best_pose7, min_loss, unc_penultimate,
+        unc_last)."""
+
+        def body(i, c):
+            pose, opt_state, best7, min_loss, unc_prev, unc_last = c
             it_key = jax.random.fold_in(key, i)
             cur7 = jnp.concatenate([pose["R"], pose["T"]])
             (loss, unc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -163,12 +172,12 @@ def make_tracking_step(sc: SceneConfig, rc: RenderConfig, tc: TrackerConfig,
             min_loss = jnp.where(better, loss, min_loss)
             return (pose, opt_state, best7, min_loss, unc_last, unc)
 
-        init7 = jnp.concatenate([pose["R"], pose["T"]])
-        carry = (pose, opt_state, init7, jnp.float32(jnp.inf),
-                 jnp.float32(0.0), jnp.float32(0.0))
-        pose, opt_state, best7, min_loss, unc_prev, unc_last = \
-            jax.lax.fori_loop(0, n_iters, body, carry)
-        return best7, min_loss, unc_prev, unc_last
+        if carry is None:
+            init7 = jnp.concatenate([pose["R"], pose["T"]])
+            carry = (init7, jnp.float32(jnp.inf),
+                     jnp.float32(0.0), jnp.float32(0.0))
+        c = (pose, opt_state) + tuple(carry)
+        return jax.lax.fori_loop(iter0, iter0 + n_iters, body, c)
 
     return step, opt, track_frame
 

@@ -214,9 +214,10 @@ def run_tiny_slam(mesh=None, n_frames: int = 6, multiprocess: bool = False):
             pose = rep({"R": jnp.asarray(init[:4]),
                         "T": jnp.asarray(init[4:])})
             opt_state = track_opt.init(pose)
-            best7, _, _, _ = track_frame_fn(
+            best7 = track_frame_fn(
                 params, pose, opt_state, depth, color,
-                rep(jax.random.PRNGKey(1000 + idx)), rep(jnp.int32(tc.iters)))
+                rep(jax.random.PRNGKey(1000 + idx)),
+                rep(jnp.int32(tc.iters)))[2]
             est7[idx] = fetch(best7)
 
         # ---- mapping every `every_frame` ----

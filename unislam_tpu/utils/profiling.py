@@ -22,12 +22,37 @@ from typing import Dict, Optional
 
 class PhaseStats:
     """Accumulates wall time + ray counts per phase ('tracking', 'mapping',
-    'meshing', ...)."""
+    'meshing', ...), plus an optional PER-FRAME time series.
 
-    def __init__(self):
+    The per-frame series exists to diagnose wall-time pathologies that
+    aggregate stats hide (round-4: hash-mode 2 s frames interleaved with
+    30-90 s spikes late in the run, invisible in the phase totals). The
+    driver brackets each frame with begin_frame/end_frame; every phase()
+    that closes inside the bracket is also charged to that frame's record.
+    Cost: one small dict append per frame."""
+
+    def __init__(self, per_frame: bool = True):
         self.time_s: Dict[str, float] = defaultdict(float)
         self.rays: Dict[str, int] = defaultdict(int)
         self.calls: Dict[str, int] = defaultdict(int)
+        self.per_frame = per_frame
+        self.frames: list = []          # [{"idx", "t", "phases", ...}, ...]
+        self._cur: Optional[dict] = None
+        self._cur_t0 = 0.0
+
+    def begin_frame(self, idx: int):
+        if self.per_frame:
+            self._cur = {"idx": int(idx), "phases": {}}
+            self._cur_t0 = time.time()
+
+    def end_frame(self, **extra):
+        """Close the frame record; `extra` lands in it verbatim (driver
+        state like t_iters / mapped / eviction that explains outliers)."""
+        if self._cur is not None:
+            cur, self._cur = self._cur, None
+            cur["t"] = round(time.time() - self._cur_t0, 4)
+            cur.update(extra)
+            self.frames.append(cur)
 
     @contextlib.contextmanager
     def phase(self, name: str, rays: int = 0, sync=None):
@@ -43,9 +68,23 @@ class PhaseStats:
                     float(val)
                 except TypeError:
                     pass
-            self.time_s[name] += time.time() - t0
+            dt = time.time() - t0
+            self.time_s[name] += dt
             self.rays[name] += rays
             self.calls[name] += 1
+            if self._cur is not None:
+                ph = self._cur["phases"]
+                ph[name] = round(ph.get(name, 0.0) + dt, 4)
+
+    def dump_frames(self, path: str):
+        """Atomically write the per-frame series as JSON (one object with a
+        'frames' list; ~100 B/frame)."""
+        import json
+        import os
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"frames": self.frames}, f)
+        os.replace(tmp, path)
 
     def report(self) -> Dict[str, Dict[str, float]]:
         out = {}
