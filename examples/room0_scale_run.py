@@ -168,6 +168,13 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     slam = UniSLAM(cfg, ds, output=args.out, seed=0)
+
+    # refresh the per-frame time series during the run so wall-time spikes
+    # can be diagnosed while the run is still in flight
+    def _live_dump(s, idx):
+        if s.stats is not None and s.stats.frames and idx % 10 == 0:
+            s.stats.dump_frames(f"{args.out}/frame_times.json")
+    slam.on_frame_done = _live_dump
     print(f"room0-scale run: {args.frames} frames at {intr.W}x{intr.H}, "
           f"encoding={args.encoding}, device={jax.devices()[0]}", flush=True)
 
@@ -176,6 +183,10 @@ def main():
     slam_s = time.time() - t0
     if slam.stats is not None:
         print(json.dumps({"profile": slam.stats.report()}), flush=True)
+        if slam.stats.frames:
+            slam.stats.dump_frames(f"{args.out}/frame_times.json")
+            slow = sorted(slam.stats.frames, key=lambda r: -r["t"])[:8]
+            print(json.dumps({"slowest_frames": slow}), flush=True)
 
     # --- ATE ---
     _, ate = pose_evaluation(slam.gt_c2w, slam.est_c2w,

@@ -466,6 +466,7 @@ class UniSLAM:
     def step_frame(self, idx: int):
         """Process one frame end-to-end (track -> map -> keyframe)."""
         if self.stats is not None:
+            self.stats.begin_frame(idx)
             # proves prefetch keeps decode off the critical path: with the
             # background loader this phase is ~0 on disk-backed datasets
             with self.stats.phase("frame_fetch"):
@@ -500,10 +501,24 @@ class UniSLAM:
             self.maybe_add_keyframe(idx, depth, color, gt_c2w)
             mapped = True
             if self.on_mapping_done is not None:
-                self.on_mapping_done(self, idx)
+                if self.stats is not None:
+                    with self.stats.phase("hooks"):
+                        self.on_mapping_done(self, idx)
+                else:
+                    self.on_mapping_done(self, idx)
 
         if self.on_frame_done is not None:
-            self.on_frame_done(self, idx)
+            if self.stats is not None:
+                # hook time (vis / ATE plots / live feed / ckpt / mesh) is
+                # charged separately so frame-time spikes attribute to the
+                # right subsystem
+                with self.stats.phase("hooks"):
+                    self.on_frame_done(self, idx)
+            else:
+                self.on_frame_done(self, idx)
+        if self.stats is not None:
+            self.stats.end_frame(t_iters=int(self.t_iters), mapped=mapped,
+                                 kf=int(self.bank.count))
         return mapped
 
     def run(self, progress: bool = True):

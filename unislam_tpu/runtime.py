@@ -180,6 +180,11 @@ class SLAMRuntime:
             playback.write_live_state(
                 self.output, idx, n, slam.est_c2w, slam.gt_c2w,
                 mesh_dir=os.path.join(self.output, "mesh"))
+            if slam.stats is not None and slam.stats.frames:
+                # per-frame wall-time series, refreshed live so a hung or
+                # spiking run can be diagnosed while still in flight
+                slam.stats.dump_frames(
+                    os.path.join(self.output, "frame_times.json"))
 
     def _on_mapping_done(self, slam: UniSLAM, idx: int):
         n = slam.n_img
@@ -206,6 +211,9 @@ class SLAMRuntime:
             print(slam.stats.summary())
             with open(os.path.join(self.output, "output.txt"), "a") as f:
                 f.write(json.dumps({"profile": slam.stats.report()}) + "\n")
+            if slam.stats.frames:
+                slam.stats.dump_frames(
+                    os.path.join(self.output, "frame_times.json"))
         eval_rendering(slam, self.output)
         name = ("final_mesh_eval_rec.ply" if self.eval_rec
                 else "final_mesh.ply")
