@@ -120,7 +120,23 @@ def main():
         if env:
             overrides[sec].update(json.loads(env))
     cfg = make_config(ds, overrides)
-    slam = UniSLAM(cfg, ds, seed=0)
+
+    # pre-render the procedural frames so the e2e frame-loop timing below
+    # measures the SLAM system, not the synthetic-scene raycaster (the
+    # reference's DataLoader reads pre-existing JPEGs; an in-memory list is
+    # the equivalent here)
+    class _ListDataset:
+        def __init__(self, frames):
+            self._frames = frames
+
+        def __len__(self):
+            return len(self._frames)
+
+        def __getitem__(self, i):
+            return self._frames[i]
+
+    ds_mem = _ListDataset([ds[i] for i in range(len(ds))])
+    slam = UniSLAM(cfg, ds_mem, seed=0)
 
     n_samples = 32 + 8
     track_rays = 2000
@@ -190,11 +206,29 @@ def main():
     total_time = track_time + map_time
     rays_per_s = total_rays / total_time
 
+    # ---- end-to-end frame loop: the reference's headline claim is
+    # REAL-TIME SLAM (/root/reference/README.md:7-22), so report frames/s
+    # too — full step_frame including tracking, mapping cadence, window
+    # selection, keyframe bank maintenance, and host-driver overhead ----
+    e2e_first, e2e_last = 2, len(ds_mem) - 1
+    n_e2e = e2e_last - e2e_first + 1
+    t0 = time.time()
+    for i in range(e2e_first, e2e_last + 1):
+        slam.step_frame(i)
+    e2e_time = time.time() - t0
+    frames_per_s = n_e2e / e2e_time
+    # dispatch-only FPS (no host overhead): per 4-frame cadence group,
+    # 4 tracked frames + 1 mapping phase
+    track_dispatch_s = track_time / (reps * 3)
+    map_dispatch_s = map_time / reps
+    fps_dispatch = 4.0 / (4 * track_dispatch_s + map_dispatch_s)
+
     result = {
         "metric": "rays_per_s_per_chip_map_track",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "frames_per_s": round(frames_per_s, 2),
     }
     print(json.dumps(result))
     # diagnostics on stderr-ish second line (driver reads line 1)
@@ -203,6 +237,11 @@ def main():
         "track_rays_per_s": round(track_ray_count / track_time, 1),
         "map_rays_per_s": round(map_ray_count / map_time, 1),
         "points_per_s": round(rays_per_s * n_samples, 1),
+        "frames_per_s_e2e": round(frames_per_s, 2),
+        "frames_per_s_dispatch_only": round(fps_dispatch, 2),
+        "tracked_frame_ms": round(track_dispatch_s * 1e3, 2),
+        "mapping_phase_ms": round(map_dispatch_s * 1e3, 2),
+        "e2e_frames": n_e2e,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }), file=sys.stderr)

@@ -4,9 +4,10 @@ and print per-op device wall times (top-k), grouped by op-name prefix.
 This measures REAL device-op durations (not HLO estimated cycles — round-2
 lesson: estimated cycles ranked cumprod at 13% but the real win was ~1.5%).
 
-Usage: python examples/profile_trace_map.py [outdir]
+Usage: python examples/profile_trace_map.py [outdir] [--encoding brick|hash]
 """
 
+import argparse
 import sys
 import time
 from collections import defaultdict
@@ -21,7 +22,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def build_slam():
+def build_slam(encoding: str = "brick"):
     from unislam_tpu.core.rays import Intrinsics
     from unislam_tpu.data.synthetic import SyntheticRoom, make_config
     from unislam_tpu.engine.slam import UniSLAM
@@ -30,29 +31,47 @@ def build_slam():
     ds = SyntheticRoom(n_frames=16, intr=intr, half=3.5, orbit_r=1.2,
                        sphere_c=(1.0, -1.0, 0.0), sphere_r=0.8,
                        deg_per_frame=1.0)
+    grid = {"hash_size_sdf": 16, "hash_size_color": 19,
+            "voxel_sdf": 0.01, "voxel_color": 0.01}
+    rendering = {"n_stratified": 32, "n_importance": 8}
+    if encoding == "brick":
+        grid.update({"encoding": "brick", "brick_levels": 3,
+                     "brick_base_res": 20,
+                     "brick_features": 8, "brick_hash_size": 16,
+                     "brick_matmul_rows": 1024, "brick_matmul_hashed": 0,
+                     "brick_hashed_level_rows": [16384, 65536]})
+        rendering.update({"n_fine": 12, "n_fine_mid": 4,
+                          "lod_split": "hashed"})
+    mapping = {"pixels": 4000, "iters": 15, "iters_first": 15,
+               "every_frame": 4, "keyframe_every": 4}
+    if encoding == "hash":
+        # ~40 ms/iter hash graphs at 15 fused iters trip the TPU runtime's
+        # execution watchdog (round-4 crash); chunked dispatches are
+        # bit-identical via map_phase's iter0 key offset
+        mapping["max_fused_iters"] = 8
     cfg = make_config(ds, {
         "tracking": {"pixels": 2000, "iters": 8, "ignore_edge_W": 75,
                      "ignore_edge_H": 75},
-        "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
-                    "every_frame": 4, "keyframe_every": 4},
-        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 12,
-                      "n_fine_mid": 4, "lod_split": "hashed"},
-        
-        "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
-                 "voxel_sdf": 0.01, "voxel_color": 0.01,
-                 "encoding": "brick", "brick_levels": 3,
-                 "brick_base_res": 20,
-                 "brick_features": 8, "brick_hash_size": 16,
-                 "brick_matmul_rows": 1024, "brick_matmul_hashed": 0,
-                 "brick_hashed_level_rows": [16384, 65536]},
+        "mapping": mapping,
+        "rendering": rendering,
+        "grid": grid,
     })
     return UniSLAM(cfg, ds, seed=0)
 
 
 def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_map"
-    print("device:", jax.devices()[0])
-    slam = build_slam()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir", nargs="?", default="/tmp/trace_map")
+    ap.add_argument("--encoding", choices=["brick", "hash"],
+                    default="brick")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="fused iters per dispatch (default 15 brick / "
+                         "8 hash — long hash dispatches trip the watchdog)")
+    args_cli = ap.parse_args()
+    outdir = args_cli.outdir
+    n_iters = args_cli.iters or (15 if args_cli.encoding == "brick" else 8)
+    print("device:", jax.devices()[0], "encoding:", args_cli.encoding)
+    slam = build_slam(args_cli.encoding)
     slam.step_frame(0)
     slam.step_frame(1)
 
@@ -73,7 +92,7 @@ def main():
     probs_j = jnp.asarray(probs, jnp.float32)
     extra_j = jnp.asarray(extra, jnp.float32)
     pg_j = jnp.asarray(pg)
-    it = jnp.int32(15)
+    it = jnp.int32(n_iters)
     args = (opt_tree, mstate, slam.bank, depth, color, slam.cam_rays_d,
             probs_j, extra_j, pg_j)
 
@@ -107,7 +126,8 @@ def main():
                 rows.append((name, dur))
     total = sum(d for _, d in rows)
     print(f"plane total: {total/1e6:.2f} ms over {len(rows)} events "
-          f"(3 phases x 15 iters)")
+          f"(3 phases x {n_iters} iters) -> "
+          f"{total/1e6/3/n_iters:.2f} ms/iter")
     agg = defaultdict(lambda: [0, 0])
     for name, dur in rows:
         key = name.split(".")[0]

@@ -99,3 +99,48 @@ def test_jit_no_recompile_across_batches():
     f = jax.jit(lambda t, p: he.encode(t, p, spec))
     f(table, jnp.zeros((16, 3)))
     f(table, jnp.ones((16, 3)) * 0.5)  # same shape: cached
+
+
+def test_custom_vjp_matches_autodiff():
+    """The custom VJP's table and points cotangents match plain autodiff of
+    the same forward math (the round-5 VJP exists for scheduling/memory, not
+    to change numerics)."""
+    spec = he.make_spec(n_levels=6, n_features=2,
+                                   log2_hashmap_size=8,
+                                   desired_resolution=64)
+    key = jax.random.PRNGKey(3)
+    table = he.init_table(key, spec)
+    pts = jax.random.uniform(jax.random.PRNGKey(4), (37, 3))
+    cot = jax.random.normal(jax.random.PRNGKey(5), (37, spec.out_dim))
+
+    def plain_encode(table, points):
+        # the pre-VJP forward, under plain autodiff
+        p = jnp.clip(points, 0.0, 1.0)
+        scales = jnp.asarray(spec.scales)[:, None, None]
+        pos = p[None, :, :] * scales + 0.5
+        pos_floor = jnp.floor(pos)
+        frac = pos - pos_floor
+        idx = he._corner_indices(spec,
+                                            pos_floor.astype(jnp.int32))
+        w = he._interp_weights(frac)
+        feats = table[idx]
+        out = jnp.sum(w[..., None] * feats, axis=2)
+        return jnp.moveaxis(out, 0, 1).reshape(points.shape[0],
+                                               spec.out_dim)
+
+    def loss_custom(t, p):
+        return jnp.sum(he.encode(t, p, spec) * cot)
+
+    def loss_plain(t, p):
+        return jnp.sum(plain_encode(t, p) * cot)
+
+    gt_c, gp_c = jax.grad(loss_custom, argnums=(0, 1))(table, pts)
+    gt_p, gp_p = jax.grad(loss_plain, argnums=(0, 1))(table, pts)
+    np.testing.assert_allclose(np.asarray(gt_c), np.asarray(gt_p),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gp_c), np.asarray(gp_p),
+                               rtol=2e-4, atol=1e-5)
+    # forwards agree exactly
+    np.testing.assert_array_equal(
+        np.asarray(he.encode(table, pts, spec)),
+        np.asarray(plain_encode(table, pts)))

@@ -49,6 +49,7 @@ def save_checkpoint(path: str, slam, idx: int) -> str:
     arrays["gt_c2w"] = slam.gt_c2w
     arrays["tracking_weights"] = slam.tracking_weights
     arrays["additional_map_records"] = slam.additional_map_records
+    arrays["kf_is_cadence"] = slam.kf_is_cadence
     meta = {
         "idx": int(idx),
         "t_iters": int(slam.t_iters),
@@ -80,12 +81,44 @@ def load_into(slam, path: str) -> int:
     ckpt = load_checkpoint(path)
     slam.params = jax.tree_util.tree_map(
         jnp.asarray, _unflatten_like(slam.params, ckpt, "params"))
+    # the bank's slot count (max_kf) is derived from n_img, so a resumed
+    # run with a different frame budget allocates a different-sized bank:
+    # prefix-copy each leaf along its slot axis into the template shape
+    # (empty-slot init preserved) instead of adopting the archive shapes,
+    # which would break the jitted selection/mapping programs
     bank = _unflatten_like(slam.bank, ckpt, "bank")
+    max_kf = int(np.shape(slam.bank.pose7)[0])
+
+    def _fit(tpl, src):
+        tpl = np.asarray(tpl)
+        src = np.asarray(src)
+        if tpl.shape == src.shape:
+            return src
+        if tpl.ndim == 0:
+            return src
+        out = tpl.copy()
+        n = min(tpl.shape[0], src.shape[0])
+        out[:n] = src[:n]
+        return out
+
+    bank = jax.tree_util.tree_map(_fit, slam.bank, bank)
+    if hasattr(bank, "count"):
+        bank = bank._replace(
+            count=np.minimum(np.asarray(bank.count), max_kf))
     slam.bank = jax.tree_util.tree_map(jnp.asarray, bank)
-    slam.est_c2w = ckpt["est_c2w"]
-    slam.gt_c2w = ckpt["gt_c2w"]
-    slam.tracking_weights = ckpt["tracking_weights"]
-    slam.additional_map_records = ckpt["additional_map_records"]
+    if "kf_is_cadence" in ckpt:
+        n = min(len(slam.kf_is_cadence), len(ckpt["kf_is_cadence"]))
+        slam.kf_is_cadence[:n] = ckpt["kf_is_cadence"][:n]
+    # prefix-copy the trajectory state instead of adopting the archive's
+    # arrays: the resumed run may see MORE frames than the checkpointing
+    # run did (e.g. run.py --n_frames raised on resume), and its
+    # pre-allocated (n_img, ...) arrays must keep that length
+    for name in ("est_c2w", "gt_c2w", "tracking_weights",
+                 "additional_map_records"):
+        dst = getattr(slam, name)
+        src = ckpt[name]
+        n = min(len(dst), len(src))
+        dst[:n] = src[:n]
     meta = ckpt["meta"]
     slam.t_iters = meta["t_iters"]
     slam.m_iters = meta["m_iters"]
