@@ -242,3 +242,80 @@ def test_matmul_hashed_level_matches_gather_lookup():
     g_g = jax.grad(lambda t: jnp.sum(be.encode(t, pts, spec_g) ** 2))(table)
     np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_g),
                                rtol=5e-2, atol=5e-3)
+
+
+def test_dedup_rows_exact_merge():
+    """_dedup_rows merges consecutive same-index runs exactly and drops
+    only the overflow runs past Ku."""
+    R, K, D = 3, 6, 4
+    idx = jnp.asarray([[5, 5, 9, 9, 9, 2],     # 3 runs
+                       [7, 7, 7, 7, 7, 7],     # 1 run
+                       [1, 2, 3, 4, 5, 6]])    # 6 runs -> overflow at Ku=3
+    g = jnp.arange(R * K * D, dtype=jnp.float32).reshape(R * K, D)
+    idx_u, g_u = be._dedup_rows(idx.reshape(-1), g, R, K, Ku=3)
+    idx_u = np.asarray(idx_u).reshape(R, 3)
+    g_u = np.asarray(g_u).reshape(R, 3, D)
+    g3 = np.asarray(g).reshape(R, K, D)
+
+    assert idx_u[0].tolist() == [5, 9, 2]
+    np.testing.assert_allclose(g_u[0, 0], g3[0, 0] + g3[0, 1])
+    np.testing.assert_allclose(g_u[0, 1], g3[0, 2:5].sum(0))
+    np.testing.assert_allclose(g_u[0, 2], g3[0, 5])
+    assert idx_u[1].tolist() == [7, 0, 0]
+    np.testing.assert_allclose(g_u[1, 0], g3[1].sum(0))
+    np.testing.assert_allclose(g_u[1, 1:], 0.0)
+    # ray 2: 6 distinct rows, capacity 3 -> farthest 3 dropped
+    assert idx_u[2].tolist() == [1, 2, 3]
+    np.testing.assert_allclose(g_u[2], g3[2, :3])
+
+    # full scatter equivalence when capacity suffices
+    idx_u6, g_u6 = be._dedup_rows(idx.reshape(-1), g, R, K, Ku=6)
+    dense_ref = np.zeros((10, D), np.float32)
+    np.add.at(dense_ref, np.asarray(idx).reshape(-1), np.asarray(g))
+    dense_dd = np.zeros((10, D), np.float32)
+    np.add.at(dense_dd, np.asarray(idx_u6), np.asarray(g_u6))
+    np.testing.assert_allclose(dense_dd, dense_ref, rtol=1e-6)
+
+
+def test_query_lod_dedup_matches_exact():
+    """query_lod with dedup_band: identical forward, matching table/point
+    gradients when per-ray band bricks fit the dedup capacity (short bands
+    on a coarse ladder guarantee it here)."""
+    from unislam_tpu.models import scene as scene_lib
+
+    spec = be.make_spec(n_levels=3, n_features=2, log2_hashmap_size=9,
+                        base_resolution=8, desired_resolution=64)
+    sc = scene_lib.SceneConfig(
+        sdf_spec=None, color_spec=None,
+        bound=np.asarray([[0, 1], [0, 1], [0, 1]], np.float32),
+        truncation=0.06, encoding="brick", brick_spec=spec)
+    params = scene_lib.init_params(jax.random.PRNGKey(0), sc)
+
+    R, S, K = 16, 10, 6
+    key = jax.random.PRNGKey(1)
+    o = jax.random.uniform(key, (R, 1, 3), minval=0.3, maxval=0.7)
+    d = jax.random.normal(jax.random.PRNGKey(2), (R, 1, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.0, 0.04, S)[None, :, None]   # short z-ordered band
+    p_nor = jnp.clip(o + d * t, 0.0, 1.0)
+    sel_idx = jnp.tile(jnp.asarray([1, 2, 4, 5, 7, 8])[None], (R, 1))
+    sel = sel_idx[..., None] == jnp.arange(S)[None, None, :]
+
+    def loss(params, dd):
+        out = scene_lib.query_lod(params, sc, p_nor, sel, n_mid=3,
+                                  dedup=dd)
+        return jnp.sum(out * out), out
+
+    (l0, out0), g0 = jax.value_and_grad(loss, has_aux=True)(params, 0.0)
+    (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(params, 1.0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1["table"]),
+                               np.asarray(g0["table"]),
+                               rtol=2e-2, atol=2e-6)
+    # pose/points path sanity: decoders' grads equal too
+    for k in ("sdf_mlp", "color_mlp"):
+        for a, b in zip(jax.tree_util.tree_leaves(g1[k]),
+                        jax.tree_util.tree_leaves(g0[k])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)

@@ -86,7 +86,8 @@ class UniSLAM:
                                n_fine=int(r.get("n_fine", 0)),
                                lod_split=str(r.get("lod_split", "cost")),
                                lod_select=str(r.get("lod_select", "depth")),
-                               n_fine_mid=int(r.get("n_fine_mid", 0)))
+                               n_fine_mid=int(r.get("n_fine_mid", 0)),
+                               dedup_band=float(r.get("dedup_band", 0.0)))
         # tracking may query the map at a different LOD than mapping
         # (tracking.n_fine: -1 = coarse levels only, 0 = full ladder,
         # >0 = surface-LOD band; tracking.lod_split: which levels the band

@@ -512,7 +512,37 @@ def encode(table: jnp.ndarray, points: jnp.ndarray, spec: BrickSpec,
     return _encode_impl(table, points, spec, tuple(levels))
 
 
-def _encode_multi_fwd(table, points_tuple, spec, levels_groups):
+def _dedup_rows(idx: jnp.ndarray, g_rows: jnp.ndarray, R: int, K: int,
+                Ku: int):
+    """Per-ray run-length accumulation of row cotangents targeting the SAME
+    brick row, before the global scatter.
+
+    `idx` (R*K,) must be z-ordered within each ray: a straight ray visits
+    each brick at most once and in depth order, so identical target rows
+    form CONSECUTIVE runs. The run members' updates are summed into one row
+    by a tiny per-ray one-hot contraction (MXU work), and only R*Ku rows
+    reach the scatter — which is per-ROW-bound (~20 ns/row, BENCHLOG), so
+    fewer rows is the whole game. Rays whose band crosses more than Ku
+    distinct bricks drop their overflow runs' TABLE gradient (the
+    farthest-z end of the band); the points/pose cotangent is computed
+    per-sample upstream and is never affected.
+    """
+    D = g_rows.shape[-1]
+    idx2 = idx.reshape(R, K)
+    g2 = g_rows.reshape(R, K, D)
+    new = jnp.concatenate(
+        [jnp.ones((R, 1), bool), idx2[:, 1:] != idx2[:, :-1]], axis=1)
+    rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1        # (R,K)
+    u = jnp.arange(Ku, dtype=jnp.int32)
+    A = rank[:, :, None] == u[None, None, :]                    # (R,K,Ku)
+    g_acc = jnp.einsum("rku,rkd->rud", A.astype(g2.dtype), g2,
+                       preferred_element_type=g2.dtype)
+    first = A & new[:, :, None]
+    idx_u = jnp.sum(first.astype(jnp.int32) * idx2[:, :, None], axis=1)
+    return idx_u.reshape(-1), g_acc.reshape(R * Ku, D)
+
+
+def _encode_multi_fwd(table, points_tuple, spec, levels_groups, dedup):
     outs, residuals = [], []
     for points, levels in zip(points_tuple, levels_groups):
         out, res = _encode_fwd(table, points, spec, levels)
@@ -521,20 +551,26 @@ def _encode_multi_fwd(table, points_tuple, spec, levels_groups):
     return tuple(outs), (table, tuple(residuals))
 
 
-def _encode_multi_bwd(spec, levels_groups, res, g_outs):
+def _encode_multi_bwd(spec, levels_groups, dedup, res, g_outs):
     table, residuals = res
     segments, g_points = [], []
-    for res_g, levels, g_out in zip(residuals, levels_groups, g_outs):
+    for res_g, levels, g_out, dd in zip(residuals, levels_groups, g_outs,
+                                        dedup):
         seg, g_p = _bwd_group(spec, levels, res_g, g_out)
+        if dd is not None:
+            R, K, Ku = dd
+            seg = [(l, *_dedup_rows(idx, g_rows, R, K, Ku))
+                   for l, idx, g_rows in seg]
         segments.extend(seg)
         g_points.append(g_p)
     g_table = _scatter_segments(segments, spec, table.shape, table.dtype)
     return g_table, tuple(g_points)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _encode_multi_impl(table, points_tuple, spec, levels_groups):
-    outs, _ = _encode_multi_fwd(table, points_tuple, spec, levels_groups)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _encode_multi_impl(table, points_tuple, spec, levels_groups, dedup):
+    outs, _ = _encode_multi_fwd(table, points_tuple, spec, levels_groups,
+                                dedup)
     return outs
 
 
@@ -542,7 +578,7 @@ _encode_multi_impl.defvjp(_encode_multi_fwd, _encode_multi_bwd)
 
 
 def encode_multi(table: jnp.ndarray, points_tuple, spec: BrickSpec,
-                 levels_groups) -> tuple:
+                 levels_groups, dedup=None) -> tuple:
     """Encode SEVERAL point sets against per-set ladder subsets with one
     fused backward. points_tuple: sequence of (N_k, 3) arrays;
     levels_groups: matching sequence of static level tuples. Returns a
@@ -557,6 +593,17 @@ def encode_multi(table: jnp.ndarray, points_tuple, spec: BrickSpec,
     _scatter_segments assembly: a single combined scatter-add for the
     gather-served levels and a single concatenated cotangent. The
     surface-LOD mapping step uses this for its three point sets (all
-    samples x coarse levels, near-band x mid level, band x finest level)."""
+    samples x coarse levels, near-band x mid level, band x finest level).
+
+    `dedup` (optional): per-group None or a static (R, K, Ku) triple. A
+    non-None entry declares the group's points to be R rays x K z-ordered
+    band samples, and run-length-accumulates the backward's row cotangents
+    to at most Ku rows per ray before the scatter (see _dedup_rows). Band
+    samples are ~5x denser than the finest bricks, so most adjacent
+    samples re-scatter the same row — the scatter is the mapping step's
+    biggest line item (1.42 ms/iter of 5.53, round-4 trace)."""
+    if dedup is None:
+        dedup = (None,) * len(points_tuple)
     return _encode_multi_impl(table, tuple(points_tuple), spec,
-                              tuple(tuple(l) for l in levels_groups))
+                              tuple(tuple(l) for l in levels_groups),
+                              tuple(dedup))

@@ -254,25 +254,54 @@ def _group_points(p_nor: jnp.ndarray, groups) -> list:
     return pts
 
 
+def _zsort_sel(sel: jnp.ndarray) -> jnp.ndarray:
+    """Reorder a one-hot selection (R, K, S) so the K rows are in ascending
+    sample order (z order, z_vals being sorted). Every consumer sums over
+    K, so the reorder is numerics-neutral; it makes same-brick band samples
+    CONSECUTIVE, which the backward's row dedup requires."""
+    pos = jnp.argmax(sel, axis=-1)                        # (R, K)
+    order = jnp.argsort(pos, axis=-1)
+    return jnp.take_along_axis(sel, order[..., None], axis=1)
+
+
+def _dedup_groups(groups, R: int, frac: float):
+    """z-sort each band group + build encode_multi dedup specs: at most
+    ceil(K * frac) scatter rows per ray per group (>= 2)."""
+    import math
+    groups = [(lv, _zsort_sel(sel)) for lv, sel in groups]
+    spec = [(R, sel.shape[1],
+             min(sel.shape[1], max(2, math.ceil(sel.shape[1] * frac))))
+            for _, sel in groups]
+    return groups, spec
+
+
 def _lod_fine_tail(params: Dict[str, Any], sc: SceneConfig,
                    p_nor: jnp.ndarray, feat_c: jnp.ndarray,
                    sel_onehot: jnp.ndarray, fine: tuple,
-                   n_mid: int = 0) -> jnp.ndarray:
+                   n_mid: int = 0, dedup: float = 0.0) -> jnp.ndarray:
     """Shared tail of the LOD queries: encode the fine levels at the
     selected samples (one encode_multi across band groups), re-spread,
     concat with the coarse features, decode.
-    p_nor: (R, S, 3); feat_c: (R, S, Cc); sel_onehot: (R, K, S)."""
+    p_nor: (R, S, 3); feat_c: (R, S, Cc); sel_onehot: (R, K, S).
+    `dedup` > 0 enables the backward scatter-row dedup (see encode_multi):
+    each band group's table-gradient rows are run-length-merged to at most
+    ceil(K * dedup) rows per ray."""
     spec = sc.brick_spec
     groups = _fine_groups(fine, sel_onehot, n_mid)
+    if dedup > 0:
+        groups, dd = _dedup_groups(groups, p_nor.shape[0], dedup)
+    else:
+        dd = None
     feats = brick_encoding.encode_multi(
         params["table"], _group_points(p_nor, groups), spec,
-        [g for g, _ in groups])
+        [g for g, _ in groups], dedup=dd)
     return _lod_decode(params, sc, p_nor, feat_c, groups, feats)
 
 
 def query_lod_field(params: Dict[str, Any], sc: SceneConfig,
                     p_nor: jnp.ndarray, K: int,
-                    split: str = "cost", n_mid: int = 0) -> jnp.ndarray:
+                    split: str = "cost", n_mid: int = 0,
+                    dedup: float = 0.0) -> jnp.ndarray:
     """Surface-LOD joint query with FIELD-guided sample selection (brick
     mode): the K samples per ray that get fine detail are those where the
     coarse-only SDF is nearest zero — i.e. where the coarse field says the
@@ -307,12 +336,12 @@ def query_lod_field(params: Dict[str, Any], sc: SceneConfig,
     _, sel_idx = jax.lax.top_k(score, K)                      # (R, K)
     sel_onehot = (sel_idx[..., None] == jnp.arange(S)[None, None, :])
     return _lod_fine_tail(params, sc, p_nor, feat_c.reshape(R, S, -1),
-                          sel_onehot, fine, n_mid)
+                          sel_onehot, fine, n_mid, dedup)
 
 
 def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
               sel_onehot: jnp.ndarray, split: str = "cost",
-              n_mid: int = 0) -> jnp.ndarray:
+              n_mid: int = 0, dedup: float = 0.0) -> jnp.ndarray:
     """Surface-LOD joint query (brick mode): coarse (dense/matmul) levels on
     ALL samples, hashed fine levels only on a per-ray selected subset.
 
@@ -342,10 +371,15 @@ def query_lod(params: Dict[str, Any], sc: SceneConfig, p_nor: jnp.ndarray,
     # cotangent that autodiff assembles and adds separately (~0.7 ms/iter
     # at mapping scale, round-3 trace); the fused VJP assembles one.
     groups = _fine_groups(fine, sel_onehot, n_mid)
+    if dedup > 0:
+        groups, dd = _dedup_groups(groups, R, dedup)
+        dd = [None] + dd   # the all-samples coarse set is never deduped
+    else:
+        dd = None
     feats = brick_encoding.encode_multi(
         params["table"],
         [p_nor.reshape(-1, 3)] + _group_points(p_nor, groups), spec,
-        [coarse] + [g for g, _ in groups])
+        [coarse] + [g for g, _ in groups], dedup=dd)
     feat_c = feats[0].reshape(R, S, -1)
     return _lod_decode(params, sc, p_nor, feat_c, groups, feats[1:])
 

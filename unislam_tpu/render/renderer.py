@@ -56,6 +56,13 @@ class RenderConfig(NamedTuple):
     # extra samples mostly re-gather/re-scatter the same rows — per-row
     # scatter cost is the mapping step's biggest line item (round-3 trace).
     n_fine_mid: int = 0
+    # backward scatter-row dedup for the band groups (0 = off): same-brick
+    # band samples' table-gradient rows are run-length-merged per ray to at
+    # most ceil(K * dedup_band) scatter rows (scene._dedup_groups /
+    # brick_encoding._dedup_rows). Exact for rays whose band crosses
+    # <= ceil(K * dedup_band) bricks; overflow rays drop the farthest-z
+    # runs' TABLE gradient only (pose/points grads stay per-sample exact).
+    dedup_band: float = 0.0
 
 
 class RenderOutput(NamedTuple):
@@ -169,7 +176,8 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
     if use_lod and rc.lod_select == "field":
         raw = scene_lib.query_lod_field(
             params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
-            rc.n_fine, split=rc.lod_split, n_mid=rc.n_fine_mid)
+            rc.n_fine, split=rc.lod_split, n_mid=rc.n_fine_mid,
+            dedup=rc.dedup_band)
     elif use_lod:
         d_ref = jnp.where(has_depth, gt_depth,
                           jax.lax.stop_gradient(d_probe))
@@ -179,7 +187,8 @@ def render_rays(params: Dict[str, Any], sc: SceneConfig, rc: RenderConfig,
                       == jnp.arange(n_total)[None, None, :])
         raw = scene_lib.query_lod(
             params, sc, p_nor.reshape(z_vals.shape[0], n_total, 3),
-            sel_onehot, split=rc.lod_split, n_mid=rc.n_fine_mid)
+            sel_onehot, split=rc.lod_split, n_mid=rc.n_fine_mid,
+            dedup=rc.dedup_band)
     elif coarse_only:
         raw = scene_lib.query_coarse(params, sc, p_nor,
                                      split=rc.lod_split).reshape(
