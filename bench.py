@@ -66,6 +66,16 @@ def main():
                          "1.0) OR below 0.95x the best committed "
                          "BENCH_r*.json — the regression guard VERDICT r3 "
                          "#4 asked for")
+    ap.add_argument("--preset", choices=["replica", "tum", "scannet"],
+                    default="replica",
+                    help="workload shape. replica (default) is the "
+                         "headline bench; tum/scannet re-run the same "
+                         "brick pipeline at the OTHER reference workload "
+                         "shapes (640x480, 48+8 samples, their ray/iter "
+                         "counts — configs/TUM_RGBD/tum.yaml, "
+                         "configs/ScanNet/scannet.yaml) to prove no "
+                         "compile/watchdog/OOM cliff off the Replica "
+                         "shape (VERDICT r4 #5)")
     args = ap.parse_args()
 
     import jax
@@ -78,22 +88,33 @@ def main():
     from unislam_tpu.data.synthetic import SyntheticRoom, make_config
     from unislam_tpu.engine.slam import UniSLAM
 
-    # Replica room0 camera and workload scale
-    intr = Intrinsics(H=680, W=1200, fx=600.0, fy=600.0, cx=599.5, cy=339.5)
+    # workload shapes per dataset family (BASELINE.md "Workload shape");
+    # all run the same TPU-native brick pipeline
+    SHAPES = {
+        # H, W, track(px, it), map(px, it, every), strat+imp
+        "replica": (680, 1200, (2000, 8), (4000, 15, 4), (32, 8)),
+        "tum": (480, 640, (5000, 20), (5000, 30, 2), (48, 8)),
+        "scannet": (480, 640, (2000, 20), (4000, 20, 5), (48, 8)),
+    }
+    H, W, (t_px, t_it), (m_px, m_it, every), (n_strat, n_imp) = \
+        SHAPES[args.preset]
+    intr = Intrinsics(H=H, W=W, fx=W / 2.0, fy=W / 2.0, cx=(W - 1) / 2,
+                      cy=(H - 1) / 2)
     ds = SyntheticRoom(n_frames=16, intr=intr, half=3.5, orbit_r=1.2,
                        sphere_c=(1.0, -1.0, 0.0), sphere_r=0.8,
                        deg_per_frame=1.0)
+    edge = 20 if args.preset == "tum" else 75   # reference ignore_edge
     overrides = {
-        "tracking": {"pixels": 2000, "iters": 8, "ignore_edge_W": 75,
-                     "ignore_edge_H": 75, "lod_split": "coarse2"},
-        "mapping": {"pixels": 4000, "iters": 15, "iters_first": 15,
-                    "every_frame": 4, "keyframe_every": 4},
+        "tracking": {"pixels": t_px, "iters": t_it, "ignore_edge_W": edge,
+                     "ignore_edge_H": edge, "lod_split": "coarse2"},
+        "mapping": {"pixels": m_px, "iters": m_it, "iters_first": m_it,
+                    "every_frame": every, "keyframe_every": every},
         # mapping band-gates ALL hashed levels ("cost" == "hashed" here since
         # no level is matmul-hashed); tracking reads the mid level everywhere
         # (coarse2) — the per-phase split that fixed the room0-scale tracked
         # ATE to 2.03 cm (beats hash parity 2.68), BENCHLOG.md round 3
-        "rendering": {"n_stratified": 32, "n_importance": 8, "n_fine": 8,
-                      "n_fine_mid": 4, "lod_split": "cost"},
+        "rendering": {"n_stratified": n_strat, "n_importance": n_imp,
+                      "n_fine": 8, "n_fine_mid": 4, "lod_split": "cost"},
         "grid": {"hash_size_sdf": 16, "hash_size_color": 19,
                  "voxel_sdf": 0.01, "voxel_color": 0.01,
                  # TPU-native brick encoding: one gather row per point/level;
@@ -138,9 +159,9 @@ def main():
     ds_mem = _ListDataset([ds[i] for i in range(len(ds))])
     slam = UniSLAM(cfg, ds_mem, seed=0)
 
-    n_samples = 32 + 8
-    track_rays = 2000
-    map_rays = 4000 + 200
+    n_samples = n_strat + n_imp
+    track_rays = t_px
+    map_rays = m_px + 200
 
     # ---- warmup: trigger all compiles via two real frames ----
     t0 = time.time()
@@ -151,7 +172,7 @@ def main():
     # ---- timed region: the reference's per-4-frame cadence ----
     # 3 tracked frames (8 iters each) + 1 mapped frame (15 iters), repeated.
     color, depth, _ = slam._frame(2)
-    t_iters, m_iters = 8, 15
+    t_iters, m_iters = t_it, m_it
     reps = 6
 
     # tracking phase timing (fused whole-frame dispatch)
@@ -217,14 +238,16 @@ def main():
         slam.step_frame(i)
     e2e_time = time.time() - t0
     frames_per_s = n_e2e / e2e_time
-    # dispatch-only FPS (no host overhead): per 4-frame cadence group,
-    # 4 tracked frames + 1 mapping phase
+    # dispatch-only FPS (no host overhead): per cadence group of
+    # `every` frames, every frame tracked + 1 mapping phase
     track_dispatch_s = track_time / (reps * 3)
     map_dispatch_s = map_time / reps
-    fps_dispatch = 4.0 / (4 * track_dispatch_s + map_dispatch_s)
+    fps_dispatch = every / (every * track_dispatch_s + map_dispatch_s)
 
     result = {
-        "metric": "rays_per_s_per_chip_map_track",
+        "metric": ("rays_per_s_per_chip_map_track" if
+                   args.preset == "replica" else
+                   f"rays_per_s_per_chip_map_track_{args.preset}"),
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),

@@ -174,10 +174,49 @@ def main():
         dt = (time.time() - t0) / args.iters
         rays = mc.pixels + mc.extra_rays
         rps = rays / dt
-        results.append((n_dev, rps))
-        base = results[0][1]
-        print(f"devices={n_dev:3d}  rays/step={rays:6d}  step={dt*1e3:7.2f} ms"
-              f"  rays/s={rps:12.1f}  speedup={rps/base:5.2f}x")
+
+        # tracking at the same mesh (VERDICT r4: the sweep covered mapping
+        # only): the REAL fused whole-frame tracking dispatch, 8 iters
+        from unislam_tpu.engine import tracker as tracker_lib
+        tc = tracker_lib.TrackerConfig(pixels=per * n_dev, iters=8,
+                                       ignore_edge_W=8, ignore_edge_H=8)
+        _, topt, tframe = tracker_lib.make_tracking_step(sc, rc, tc, intr,
+                                                         mesh=mesh)
+        pose = {"R": jnp.asarray([1.0, 0, 0, 0]),
+                "T": jnp.asarray([0.0, 0, 0])}
+        tstate = topt.init(pose)
+        if multiproc:
+            pose, tstate = rep((pose, tstate))
+        t_it = jnp.int32(8)
+
+        def one_track(k):
+            if multiproc:
+                from unislam_tpu.parallel import distributed as dist
+                k = dist.replicate(mesh, k)
+            return tframe(opt_tree["scene"], pose, tstate, depth, color,
+                          k, t_it)
+        out = one_track(key)
+        fetch(out[3])
+        t0 = time.time()
+        for i in range(args.iters):
+            out = one_track(jax.random.fold_in(key, 100 + i))
+        fetch(out[3])
+        t_frame_dt = (time.time() - t0) / args.iters
+        t_rps = tc.pixels * 8 / t_frame_dt
+
+        # derived end-to-end frame-loop rate at the Replica cadence
+        # (4 tracked frames + one 15-iter mapping phase per group),
+        # composed from the two measured dispatch times
+        group_s = 4 * t_frame_dt + 15 * dt
+        fps = 4.0 / group_s
+
+        results.append((n_dev, rps, t_rps, fps))
+        base = results[0]
+        print(f"devices={n_dev:3d}  rays/step={rays:6d}  "
+              f"map step={dt*1e3:7.2f} ms  map rays/s={rps:12.1f} "
+              f"({rps/base[1]:4.2f}x)  track rays/s={t_rps:12.1f} "
+              f"({t_rps/base[2]:4.2f}x)  frame-loop fps={fps:6.2f} "
+              f"({fps/base[3]:4.2f}x)")
 
 
 if __name__ == "__main__":

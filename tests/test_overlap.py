@@ -90,3 +90,33 @@ def test_overlap_single_map_device():
     assert r["error.rmse"] < 5.0, r
 
 
+
+
+def test_tracking_completes_while_mapping_in_flight():
+    """The wall-clock-overlap proof (VERDICT r4 #7): after a mapping frame,
+    step_frame returns with the mapping phase still EXECUTING on the
+    mapping sub-mesh (async dispatch, nothing materialized), and the next
+    frame's tracking runs to completion on the tracking device while that
+    phase is still in flight — true concurrency, not just equal quality."""
+    ds, cfg = _small(
+        n_frames=6,
+        # heavy mapping vs light tracking so the in-flight window is wide;
+        # no activated-mapping so frame 3 stays track-only
+        mapping={"iters": 300, "iters_first": 300, "pixels": 2000},
+        tracking={"iters": 4, "pixels": 200, "uncertainty_ts": 1e9})
+    slam = OverlappedSLAM(cfg, ds, seed=0)
+    slam.step_frame(0)   # compiles mapping; dispatched async
+    slam.step_frame(1)   # compiles tracking
+    slam.sync()
+
+    slam.step_frame(2)   # mapping frame: dispatch, no host block
+    assert slam._pending_loss is not None
+    assert not slam._pending_loss.is_ready(), \
+        "mapping phase already finished at dispatch return - workload too " \
+        "small to prove overlap"
+    slam.step_frame(3)   # tracking COMPLETES (track_frame fetches its unc)
+    still_in_flight = not slam._pending_loss.is_ready()
+    slam.sync()
+    assert still_in_flight, \
+        "mapping finished before tracking - no overlap demonstrated"
+    assert np.isfinite(slam.last_map_loss)

@@ -131,9 +131,14 @@ class UniSLAM:
         self._add_kf = kf_lib.make_add_keyframe(self.intr.H, self.intr.W,
                                                 self.bank_size)
         self._evict_kf = kf_lib.make_evict_keyframe(self.max_kf)
-        # host mirror: which slots hold cadence keyframes (vs tracking-back
-        # extras) — drives the eviction preference without device syncs
+        # host mirrors: which slots hold cadence keyframes (vs tracking-back
+        # extras), and the bank's slot count — both fully host-predictable.
+        # The count mirror matters for wall-clock overlap: fetching
+        # bank.count right after a mapping dispatch blocks on the mapping
+        # device's FIFO queue until the whole phase finishes (the round-5
+        # overlap-proof test caught exactly this sync).
         self.kf_is_cadence = np.zeros(self.max_kf, dtype=bool)
+        self.kf_count = 0
         self._evict_warned = False
 
         # jitted steps (single-iteration + fused whole-frame variants)
@@ -238,7 +243,11 @@ class UniSLAM:
         vis = self.tracking_iter_vis
         use_vis = vis is not None and vis.wants(idx)
         n1 = int(self.t_iters)
-        state = self._run_tracking(idx, pose, opt_state, depth_img,
+        # params pinned ONCE per frame (reference refreshes from mapping
+        # before the loop, Tracker.py:302) so a doubling continuation never
+        # adopts a newer overlap-driver snapshot mid-frame
+        params = self._tracking_params()
+        state = self._run_tracking(idx, params, pose, opt_state, depth_img,
                                    color_img, key, n1, 0, None,
                                    vis if use_vis else None)
 
@@ -260,8 +269,8 @@ class UniSLAM:
             if triggered and n1 == self.tc.iters:
                 self.additional_map_records[idx] = 1
                 state = self._run_tracking(
-                    idx, state[0], state[1], depth_img, color_img, key,
-                    self.tc.iters, n1, state[2:],
+                    idx, params, state[0], state[1], depth_img, color_img,
+                    key, self.tc.iters, n1, state[2:],
                     vis if use_vis else None)
                 mean_unc = float(state[4])
                 triggered = mean_unc > self.tc.uncertainty_ts
@@ -279,12 +288,11 @@ class UniSLAM:
         best7 = state[2]
         return np.asarray(pose_lib.cam_pose_to_matrix(best7[None])[0])
 
-    def _run_tracking(self, idx, pose, opt_state, depth_img, color_img, key,
-                      n_iters, iter0, carry, vis):
+    def _run_tracking(self, idx, params, pose, opt_state, depth_img,
+                      color_img, key, n_iters, iter0, carry, vis):
         """Run `n_iters` tracking iterations starting at schedule index
         `iter0`, fused (vis=None) or instrumented. Returns the full state
         tuple (pose, opt_state, best7, min_loss, unc_prev, unc_last)."""
-        params = self._tracking_params()
         if vis is None:
             return self.track_frame_fn(params, pose, opt_state, depth_img,
                                        color_img, key, jnp.int32(n_iters),
@@ -326,7 +334,7 @@ class UniSLAM:
     def map_frame(self, idx: int, depth_img, color_img, gt_c2w: np.ndarray):
         """One mapping phase over the keyframe window + current frame.
         Mirrors Mapper.optimize_mapping (/root/reference/src/Mapper.py:276-459)."""
-        count = int(self.bank.count)
+        count = self.kf_count
         cur_pose7 = pose_lib.matrix_to_cam_pose(
             jnp.asarray(self.est_c2w[idx])[None])[0]
 
@@ -438,7 +446,7 @@ class UniSLAM:
         extra if any exist (they are transient densification, not trajectory
         backbone), else the oldest cadence keyframe after the slot-0 anchor
         (kept for loop-closure reach)."""
-        count = int(self.bank.count)
+        count = self.kf_count
         extras = np.nonzero(~self.kf_is_cadence[:count])[0]
         if len(extras):
             return int(extras[0])
@@ -446,11 +454,16 @@ class UniSLAM:
 
     def maybe_add_keyframe(self, idx: int, depth_img, color_img,
                            gt_c2w: np.ndarray):
+        """Add a keyframe on cadence / tracking-back. Deliberately fetch-
+        free (kf_count host mirror): a bank.count fetch here would block on
+        the mapping device's queue right after the phase dispatch and
+        serialize the overlapped driver."""
         if idx % self.mc.keyframe_every == 0 or self.tracking_back:
-            if int(self.bank.count) >= self.max_kf:
+            if self.kf_count >= self.max_kf:
                 slot = self._evict_slot()
                 self.bank = self._evict_kf(self.bank, jnp.int32(slot))
                 self.kf_is_cadence[slot:-1] = self.kf_is_cadence[slot + 1:]
+                self.kf_count -= 1
                 if not self._evict_warned:
                     print(f"[keyframes] bank full ({self.max_kf} slots) at "
                           f"frame {idx}: evicting (oldest-extra-first "
@@ -460,7 +473,8 @@ class UniSLAM:
                 self.bank, depth_img, color_img, self.cam_rays_d,
                 jnp.asarray(self.est_c2w[idx]), jnp.asarray(gt_c2w),
                 jnp.int32(idx), self._next_key())
-            self.kf_is_cadence[int(self.bank.count) - 1] = (
+            self.kf_count += 1
+            self.kf_is_cadence[self.kf_count - 1] = (
                 idx % self.mc.keyframe_every == 0)
 
     # ------------------------------------------------------------------
@@ -519,7 +533,7 @@ class UniSLAM:
                 self.on_frame_done(self, idx)
         if self.stats is not None:
             self.stats.end_frame(t_iters=int(self.t_iters), mapped=mapped,
-                                 kf=int(self.bank.count))
+                                 kf=self.kf_count)
         return mapped
 
     def run(self, progress: bool = True):

@@ -106,6 +106,7 @@ def load_into(slam, path: str) -> int:
         bank = bank._replace(
             count=np.minimum(np.asarray(bank.count), max_kf))
     slam.bank = jax.tree_util.tree_map(jnp.asarray, bank)
+    slam.kf_count = int(np.asarray(bank.count))
     if "kf_is_cadence" in ckpt:
         n = min(len(slam.kf_is_cadence), len(ckpt["kf_is_cadence"]))
         slam.kf_is_cadence[:n] = ckpt["kf_is_cadence"][:n]
