@@ -261,7 +261,8 @@ def test_dedup_rows_exact_merge():
     np.testing.assert_allclose(g_u[0, 0], g3[0, 0] + g3[0, 1])
     np.testing.assert_allclose(g_u[0, 1], g3[0, 2:5].sum(0))
     np.testing.assert_allclose(g_u[0, 2], g3[0, 5])
-    assert idx_u[1].tolist() == [7, 0, 0]
+    # unused slots: whatever index they carry, their update must be 0
+    assert idx_u[1, 0] == 7
     np.testing.assert_allclose(g_u[1, 0], g3[1].sum(0))
     np.testing.assert_allclose(g_u[1, 1:], 0.0)
     # ray 2: 6 distinct rows, capacity 3 -> farthest 3 dropped

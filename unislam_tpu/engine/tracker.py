@@ -161,7 +161,10 @@ def make_tracking_step(sc: SceneConfig, rc: RenderConfig, tc: TrackerConfig,
 
         def body(i, c):
             pose, opt_state, best7, min_loss, unc_prev, unc_last = c
-            it_key = jax.random.fold_in(key, i)
+            # iter0 offsets the key schedule only; the loop itself stays
+            # 0-based (a dynamic LOWER bound hits a TPU backend
+            # INVALID_ARGUMENT — same pattern as mapper.map_phase)
+            it_key = jax.random.fold_in(key, iter0 + i)
             cur7 = jnp.concatenate([pose["R"], pose["T"]])
             (loss, unc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 pose, params, depth_img, color_img, it_key)
@@ -177,7 +180,7 @@ def make_tracking_step(sc: SceneConfig, rc: RenderConfig, tc: TrackerConfig,
             carry = (init7, jnp.float32(jnp.inf),
                      jnp.float32(0.0), jnp.float32(0.0))
         c = (pose, opt_state) + tuple(carry)
-        return jax.lax.fori_loop(iter0, iter0 + n_iters, body, c)
+        return jax.lax.fori_loop(0, n_iters, body, c)
 
     return step, opt, track_frame
 

@@ -533,13 +533,33 @@ def _dedup_rows(idx: jnp.ndarray, g_rows: jnp.ndarray, R: int, K: int,
     new = jnp.concatenate(
         [jnp.ones((R, 1), bool), idx2[:, 1:] != idx2[:, :-1]], axis=1)
     rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1        # (R,K)
-    u = jnp.arange(Ku, dtype=jnp.int32)
-    A = rank[:, :, None] == u[None, None, :]                    # (R,K,Ku)
-    g_acc = jnp.einsum("rku,rkd->rud", A.astype(g2.dtype), g2,
-                       preferred_element_type=g2.dtype)
-    first = A & new[:, :, None]
-    idx_u = jnp.sum(first.astype(jnp.int32) * idx2[:, :, None], axis=1)
-    return idx_u.reshape(-1), g_acc.reshape(R * Ku, D)
+    u = jnp.arange(Ku, dtype=jnp.int32)[None, None, :]
+
+    # Run sums via prefix-sum + boundary differences — NOT a per-ray
+    # one-hot matmul: 4200 batched (Ku x K) @ (K x 216) dots measured 31%
+    # SLOWER end-to-end than no dedup at all (tiny batched matmuls are
+    # ~0.2% MXU utilization). Here the D-wide work is one cumsum and one
+    # take_along_axis of R*Ku boundary rows; everything else is (R, K, Ku)
+    # int32 vector math.
+    S = jnp.cumsum(g2.astype(jnp.float32), axis=1)              # (R,K,D)
+    k_ix = jnp.arange(K, dtype=jnp.int32)[None, :, None]
+    # last sample index whose run-rank <= u (monotone in u; repeats for
+    # unused u so the boundary difference is exactly zero)
+    lk = jnp.max(jnp.where(rank[:, :, None] <= u, k_ix + 1, 0),
+                 axis=1) - 1                                    # (R,Ku)
+    # boundary rows as a FLAT row gather (R*Ku whole (D,) rows at ~6
+    # ns/row) — take_along_axis with a broadcast (R,Ku,1) index lowers to
+    # a per-ELEMENT gather of R*Ku*D scalars (measured +3 ms/iter)
+    flat = (jnp.arange(R, dtype=jnp.int32)[:, None] * K
+            + lk.clip(0)).reshape(-1)
+    P = S.reshape(R * K, D)[flat].reshape(R, Ku, D)
+    g_acc = jnp.diff(P, axis=1, prepend=jnp.zeros_like(P[:, :1]))
+    # first sample index of run u -> its target row (unused u keep a
+    # stale index; their g_acc row is exactly zero, so the scatter adds 0)
+    fk = jnp.min(jnp.where((rank[:, :, None] == u) & new[:, :, None],
+                           k_ix, K), axis=1).clip(0, K - 1)     # (R,Ku)
+    idx_u = jnp.take_along_axis(idx2, fk, axis=1)
+    return idx_u.reshape(-1), g_acc.reshape(R * Ku, D).astype(g_rows.dtype)
 
 
 def _encode_multi_fwd(table, points_tuple, spec, levels_groups, dedup):
