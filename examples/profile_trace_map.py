@@ -40,7 +40,7 @@ def build_slam(encoding: str = "brick"):
                      "brick_features": 8, "brick_hash_size": 16,
                      "brick_matmul_rows": 1024, "brick_matmul_hashed": 0,
                      "brick_hashed_level_rows": [16384, 65536]})
-        rendering.update({"n_fine": 12, "n_fine_mid": 4,
+        rendering.update({"n_fine": 8, "n_fine_mid": 4,
                           "lod_split": "hashed"})
     mapping = {"pixels": 4000, "iters": 15, "iters_first": 15,
                "every_frame": 4, "keyframe_every": 4}
