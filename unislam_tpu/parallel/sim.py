@@ -33,6 +33,8 @@ class TinyProblem(NamedTuple):
     extra_probs: jnp.ndarray
     pose_grad_mask: jnp.ndarray
     intr: object
+    sc: object = None        # SceneConfig (round 5: tracking dry run)
+    rc: object = None        # RenderConfig
 
 
 def build_tiny_mapping_problem(mesh=None, n_rays_base: int = 240,
@@ -102,7 +104,8 @@ def build_tiny_mapping_problem(mesh=None, n_rays_base: int = 240,
         bank=bank, depth=depth, color=color, rays_d=rays_d,
         probs=jnp.asarray(probs, jnp.float32),
         extra_probs=jnp.asarray(probs, jnp.float32),
-        pose_grad_mask=jnp.asarray(pose_grad_mask), intr=intr)
+        pose_grad_mask=jnp.asarray(pose_grad_mask), intr=intr,
+        sc=sc, rc=rc)
 
 
 def run_tiny_step(p: TinyProblem, key=None):
@@ -112,6 +115,28 @@ def run_tiny_step(p: TinyProblem, key=None):
     return p.step(p.opt_tree, p.opt_state, p.bank, p.depth, p.color,
                   p.rays_d, p.probs, p.extra_probs, p.pose_grad_mask, key,
                   jnp.float32(1.0))
+
+
+def run_tiny_track_frame(p: TinyProblem, mesh=None, n_iters: int = 2):
+    """One fused whole-frame TRACKING dispatch over the same mesh/scene:
+    ray batch sharded like mapping's, pose-only gradients against the
+    (possibly row-sharded) frozen scene params. Together with
+    run_tiny_step this covers the driver's FULL per-frame training
+    surface in the multichip dry run. Returns the final state tuple
+    (pose, opt_state, best7, min_loss, unc_prev, unc_last)."""
+    from unislam_tpu.engine import tracker as tracker_lib
+
+    n_dev = 1 if mesh is None else mesh.devices.size
+    per = max(1, 240 // n_dev)
+    tc = tracker_lib.TrackerConfig(pixels=per * n_dev, iters=n_iters,
+                                   ignore_edge_W=2, ignore_edge_H=2)
+    _, topt, track_frame = tracker_lib.make_tracking_step(
+        p.sc, p.rc, tc, p.intr, mesh=mesh)
+    pose = {"R": jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+            "T": jnp.asarray([0.0, 0.0, 0.0])}
+    return track_frame(p.opt_tree["scene"], pose, topt.init(pose),
+                       p.depth, p.color, jax.random.PRNGKey(11),
+                       jnp.int32(n_iters))
 
 
 def param_checksums(opt_tree) -> dict:
