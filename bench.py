@@ -25,9 +25,16 @@ import numpy as np
 BASELINE_RAYS_PER_S = 8.0e5  # 2x estimated A100 reference throughput
 
 
-def _extract_vs_baseline(rec) -> float:
+REPLICA_METRIC = "rays_per_s_per_chip_map_track"
+
+
+def _extract_vs_baseline(rec, metric: str = REPLICA_METRIC) -> float:
     """vs_baseline from a BENCH record: either this script's raw JSON line
-    or the driver's wrapper ({"cmd", "rc", "tail": <stdout>})."""
+    or the driver's wrapper ({"cmd", "rc", "tail": <stdout>}). Records
+    carrying a DIFFERENT metric name (tum/scannet preset runs) are ignored
+    so a fast preset can never inflate the replica regression floor."""
+    if rec.get("metric", metric) != metric:
+        return 0.0
     if "vs_baseline" in rec:
         return float(rec["vs_baseline"])
     best = 0.0
@@ -36,21 +43,25 @@ def _extract_vs_baseline(rec) -> float:
         if line.startswith("{"):
             try:
                 inner = json.loads(line)
+                if inner.get("metric", metric) != metric:
+                    continue
                 best = max(best, float(inner.get("vs_baseline", 0.0)))
             except Exception:
                 pass
     return best
 
 
-def best_recorded_vs_baseline(repo_dir: str) -> float:
-    """Best vs_baseline across the committed BENCH_r*.json history."""
+def best_recorded_vs_baseline(repo_dir: str,
+                              metric: str = REPLICA_METRIC) -> float:
+    """Best vs_baseline across the committed BENCH_r*.json history
+    (restricted to records of `metric`)."""
     import glob
     import os
     best = 0.0
     for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         try:
             with open(p) as f:
-                best = max(best, _extract_vs_baseline(json.load(f)))
+                best = max(best, _extract_vs_baseline(json.load(f), metric))
         except Exception:
             pass
     return best
@@ -190,6 +201,21 @@ def main():
     # axon relay) lands inside the timed region
     for i in range(2, 10):
         slam.step_frame(i)
+    # the doubling-continuation dispatch (carry != None) is a DISTINCT jit
+    # trace that warmup frames only compile if an activated-mapping trigger
+    # happens to fire in 2..9; force-compile it here so a first trigger
+    # inside the timed region never pays a remote compile there
+    from unislam_tpu.core import pose as pose_lib
+    _c, _d, _ = slam._frame(9)
+    _p7 = pose_lib.matrix_to_cam_pose(jnp.asarray(slam.est_c2w[9])[None])[0]
+    _pose = {"R": _p7[:4], "T": _p7[4:]}
+    _st = slam.track_frame_fn(slam.params, _pose, slam.track_opt.init(_pose),
+                              _d, _c, slam._next_key(),
+                              jnp.int32(slam.tc.iters), jnp.int32(0), None)
+    slam.track_frame_fn(slam.params, _st[0], _st[1], _d, _c,
+                        slam._next_key(), jnp.int32(slam.tc.iters),
+                        jnp.int32(slam.tc.iters),
+                        _st[2:])[3].block_until_ready()
     e2e_first, e2e_last = 10, len(ds_mem) - 1
     n_e2e = e2e_last - e2e_first + 1
     t0 = time.time()
@@ -290,7 +316,13 @@ def main():
         "device": str(jax.devices()[0]),
     }), file=sys.stderr)
 
-    if args.assert_floor is not None:
+    if args.assert_floor is not None and args.preset != "replica":
+        # the floor (explicit min AND committed history) is defined in
+        # replica-workload units; comparing a different workload shape
+        # against it would fail spuriously or mask a real regression
+        print(f"bench floor skipped: --assert-floor guards the replica "
+              f"preset only (got --preset {args.preset})", file=sys.stderr)
+    elif args.assert_floor is not None:
         repo = os.path.dirname(os.path.abspath(__file__))
         hist = best_recorded_vs_baseline(repo)
         floor = max(args.assert_floor, 0.95 * hist)

@@ -353,7 +353,9 @@ def variant_3():
         slam.max_kf, count, np.zeros(slam.max_kf, bool))
     pg = np.zeros((slam.max_kf + 1, 1), np.float32)
     pg[[0, slam.max_kf], 0] = 1.0  # exercise BA pose grads
-    opt_tree = {"scene": slam.params,
+    # COPY the scene params into the tree: map_phase donates its opt_tree
+    # (mapper.py donate_argnums), and stage (e) still needs slam.params live
+    opt_tree = {"scene": jax.tree_util.tree_map(jnp.copy, slam.params),
                 "poses": jnp.concatenate(
                     [slam.bank.pose7,
                      pose_lib.matrix_to_cam_pose(
@@ -374,20 +376,34 @@ def variant_3():
                   slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.float32(1.0))
     print(f"map single step          {t * 1e3:8.2f} ms")
 
+    # phase donates opt_tree/opt_state -> rebind outputs between calls
+    # (the profile_trace_map.py pattern); each stage gets fresh copies
+    def time_phase(n_iters, pgrad, reps):
+        ot = jax.tree_util.tree_map(jnp.copy, opt_tree)
+        ms = opt.init(ot)
+        for _ in range(2):
+            ot, ms, ml = phase(ot, ms, slam.bank, depth, color,
+                               slam.cam_rays_d, probs_j, extra_j, pgrad,
+                               key, jnp.int32(n_iters), jnp.float32(1.0))
+        _fetch(ml)
+        t0 = time.time()
+        for _ in range(reps):
+            ot, ms, ml = phase(ot, ms, slam.bank, depth, color,
+                               slam.cam_rays_d, probs_j, extra_j, pgrad,
+                               key, jnp.int32(n_iters), jnp.float32(1.0))
+        _fetch(ml)
+        return (time.time() - t0) / reps
+
     # (b) fused phase, n=1
-    t, _ = timeit(phase, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.int32(1), jnp.float32(1.0))
+    t = time_phase(1, pg_j, reps=8)
     print(f"map phase n=1            {t * 1e3:8.2f} ms")
 
     # (c) fused phase, n=15 (per-iter)
-    t, _ = timeit(phase, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg_j, key, jnp.int32(15), jnp.float32(1.0),reps=4)
+    t = time_phase(15, pg_j, reps=4)
     print(f"map phase n=15 per-iter  {t / 15 * 1e3:8.2f} ms")
 
     # (d) no-BA variant: pose grads off
-    pg0 = jnp.zeros_like(pg_j)
-    t, _ = timeit(phase, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg0, key, jnp.int32(15), jnp.float32(1.0),reps=4)
+    t = time_phase(15, jnp.zeros_like(pg_j), reps=4)
     print(f"map phase no-BA per-iter {t / 15 * 1e3:8.2f} ms")
 
     # (e) tracking per-iter
@@ -786,7 +802,9 @@ def variant_6():
         slam.max_kf, count, np.zeros(slam.max_kf, bool))
     pg = np.zeros((slam.max_kf + 1, 1), np.float32)
     pg[[0, slam.max_kf], 0] = 1.0
-    opt_tree = {"scene": slam.params,
+    # COPY the scene params: map_phase donates its opt_tree, and the
+    # tracking timing below still needs slam.params live
+    opt_tree = {"scene": jax.tree_util.tree_map(jnp.copy, slam.params),
                 "poses": jnp.concatenate(
                     [slam.bank.pose7,
                      pose_lib.matrix_to_cam_pose(
@@ -796,10 +814,22 @@ def variant_6():
     pg_j = jnp.asarray(pg)
     key = jax.random.PRNGKey(42)
 
-    mstate = slam.map_opt.init(opt_tree)
-    t, _ = timeit(slam.map_phase, opt_tree, mstate, slam.bank, depth, color,
-                  slam.cam_rays_d, probs_j, extra_j, pg_j, key,
-                  jnp.int32(15), reps=4)
+    # phase donates opt_tree/opt_state -> rebind outputs between calls
+    ot = jax.tree_util.tree_map(jnp.copy, opt_tree)
+    ms = slam.map_opt.init(ot)
+    for _ in range(2):
+        ot, ms, ml = slam.map_phase(ot, ms, slam.bank, depth, color,
+                                    slam.cam_rays_d, probs_j, extra_j, pg_j,
+                                    key, jnp.int32(15), jnp.float32(1.0))
+    _fetch(ml)
+    t0 = time.time()
+    reps = 4
+    for _ in range(reps):
+        ot, ms, ml = slam.map_phase(ot, ms, slam.bank, depth, color,
+                                    slam.cam_rays_d, probs_j, extra_j, pg_j,
+                                    key, jnp.int32(15), jnp.float32(1.0))
+    _fetch(ml)
+    t = (time.time() - t0) / reps
     print(f"map phase n=15 per-iter  {t / 15 * 1e3:8.2f} ms")
 
     loss_fn = mapper_lib.make_loss_fn(slam.sc, slam.rc, slam.mc, slam.intr,

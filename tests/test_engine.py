@@ -393,3 +393,36 @@ def test_track_frame_continuation_bit_identical():
     for a, b in zip(jax.tree_util.tree_leaves(fused),
                     jax.tree_util.tree_leaves(s2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_into_smaller_bank_keeps_newest_keyframes(tmp_path):
+    """Resuming with a smaller frame budget shrinks the bank; the NEWEST
+    valid keyframes must survive (selection anchors on slots count-1/-2 as
+    most-recent — keeping the oldest would hand mapping stale geometry)."""
+    from unislam_tpu.utils.logger import save_checkpoint, load_into
+
+    intr = Intrinsics(H=24, W=32, fx=30.0, fy=30.0, cx=15.5, cy=11.5)
+    over = {
+        "mapping": {"keyframe_every": 1, "every_frame": 2, "pixels": 100,
+                    "iters": 1, "iters_first": 1},
+        "tracking": {"pixels": 50, "iters": 1},
+        "rendering": {"n_stratified": 8, "n_importance": 4},
+    }
+    ds = SyntheticRoom(n_frames=12, intr=intr)
+    big = UniSLAM(make_config(ds, over), ds, seed=0)
+    for i in range(12):
+        big.step_frame(i)
+    assert big.kf_count >= 5
+    big_idx = np.asarray(big.bank.frame_idx)[:big.kf_count]
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, big, 11)
+
+    ds_small = SyntheticRoom(n_frames=4, intr=intr)
+    small = UniSLAM(make_config(ds_small, over), ds_small, seed=0)
+    keep = small.max_kf
+    assert keep < big.kf_count
+    load_into(small, path)
+    np.testing.assert_array_equal(
+        np.asarray(small.bank.frame_idx)[:keep], big_idx[-keep:])
+    assert small.kf_count == keep
+    assert int(np.asarray(small.bank.count)) == keep

@@ -169,6 +169,7 @@ class UniSLAM:
         self.additional_map_records = np.zeros(self.n_img, dtype=np.int32)
         self.t_iters = self.tc.iters
         self.m_iters = self.mc.iters
+        self.last_track_iters = 0   # iterations the LAST frame executed
         self.tracking_back = False
         self.lc_cnt = 0
         self.mapping_cnt = 0
@@ -247,6 +248,7 @@ class UniSLAM:
         vis = self.tracking_iter_vis
         use_vis = vis is not None and vis.wants(idx)
         n1 = int(self.t_iters)
+        self.last_track_iters = n1
         # params pinned ONCE per frame (reference refreshes from mapping
         # before the loop, Tracker.py:302) so a doubling continuation never
         # adopts a newer overlap-driver snapshot mid-frame
@@ -272,6 +274,7 @@ class UniSLAM:
                          and mean_unc > self.tc.uncertainty_ts)
             if triggered and n1 == self.tc.iters:
                 self.additional_map_records[idx] = 1
+                self.last_track_iters = n1 + self.tc.iters
                 state = self._run_tracking(
                     idx, params, state[0], state[1], depth_img, color_img,
                     key, self.tc.iters, n1, state[2:],
@@ -498,10 +501,13 @@ class UniSLAM:
             self.est_c2w[idx] = gt_c2w
         else:
             if self.stats is not None:
-                with self.stats.phase("tracking",
-                                      rays=self.t_iters * self.tc.pixels):
+                with self.stats.phase("tracking"):
                     # track_frame fetches unc scalars -> already synced
                     self.est_c2w[idx] = self.track_frame(idx, depth, color)
+                # rays credited AFTER the body: a mid-frame doubling
+                # continuation changes the executed count inside track_frame
+                self.stats.add_rays(
+                    "tracking", self.last_track_iters * self.tc.pixels)
             else:
                 self.est_c2w[idx] = self.track_frame(idx, depth, color)
 
@@ -536,8 +542,10 @@ class UniSLAM:
             else:
                 self.on_frame_done(self, idx)
         if self.stats is not None:
-            self.stats.end_frame(t_iters=int(self.t_iters), mapped=mapped,
-                                 kf=self.kf_count)
+            # t_iters = iterations THIS frame executed (incl. a mid-frame
+            # doubling continuation), not the next frame's schedule
+            self.stats.end_frame(t_iters=int(self.last_track_iters),
+                                 mapped=mapped, kf=self.kf_count)
         return mapped
 
     def run(self, progress: bool = True):

@@ -88,6 +88,15 @@ def load_into(slam, path: str) -> int:
     # which would break the jitted selection/mapping programs
     bank = _unflatten_like(slam.bank, ckpt, "bank")
     max_kf = int(np.shape(slam.bank.pose7)[0])
+    src_slots = int(np.shape(bank.pose7)[0])
+    src_count = int(np.asarray(bank.count)) if hasattr(bank, "count") \
+        else src_slots
+    # slot order == temporal order (compacting eviction), and selection
+    # anchors on slots count-1/count-2 as the most recent keyframes — so
+    # when SHRINKING keep the NEWEST valid keyframes (the tail of the
+    # occupied prefix), never the oldest, and never empty-init tail slots
+    valid = min(src_count, src_slots)
+    keep = min(max_kf, valid)
 
     def _fit(tpl, src):
         tpl = np.asarray(tpl)
@@ -97,19 +106,25 @@ def load_into(slam, path: str) -> int:
         if tpl.ndim == 0:
             return src
         out = tpl.copy()
-        n = min(tpl.shape[0], src.shape[0])
-        out[:n] = src[:n]
+        if src.shape[0] == src_slots and tpl.shape[0] == max_kf:
+            out[:keep] = src[valid - keep:valid]
+        else:   # non-slot-indexed leaf: plain prefix copy
+            n = min(tpl.shape[0], src.shape[0])
+            out[:n] = src[:n]
         return out
 
     bank = jax.tree_util.tree_map(_fit, slam.bank, bank)
     if hasattr(bank, "count"):
-        bank = bank._replace(
-            count=np.minimum(np.asarray(bank.count), max_kf))
+        bank = bank._replace(count=np.asarray(bank.count).dtype.type(keep))
     slam.bank = jax.tree_util.tree_map(jnp.asarray, bank)
-    slam.kf_count = int(np.asarray(bank.count))
+    slam.kf_count = keep
     if "kf_is_cadence" in ckpt:
-        n = min(len(slam.kf_is_cadence), len(ckpt["kf_is_cadence"]))
-        slam.kf_is_cadence[:n] = ckpt["kf_is_cadence"][:n]
+        src_cad = list(ckpt["kf_is_cadence"])
+        if len(src_cad) == src_slots and len(slam.kf_is_cadence) == max_kf:
+            slam.kf_is_cadence[:keep] = src_cad[valid - keep:valid]
+        else:
+            n = min(len(slam.kf_is_cadence), len(src_cad))
+            slam.kf_is_cadence[:n] = src_cad[:n]
     # prefix-copy the trajectory state instead of adopting the archive's
     # arrays: the resumed run may see MORE frames than the checkpointing
     # run did (e.g. run.py --n_frames raised on resume), and its

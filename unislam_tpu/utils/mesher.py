@@ -114,7 +114,9 @@ class Mesher:
         # invariant (truncation/resolution < 2), the hierarchical pass is
         # DISABLED rather than run with a stride that could let a thin
         # surface slip between coarse samples (ADVICE r4).
-        safe_stride = int(sc.truncation / max(self.resolution, 1e-6))
+        # epsilon before truncating: 0.6/0.3 is 1.9999... in float, and a
+        # ratio that is mathematically exactly 2 must yield stride 2
+        safe_stride = int(sc.truncation / max(self.resolution, 1e-6) + 1e-9)
         self._hier_two_pass = (
             sc.encoding != "brick"
             and bool(cfg.get("meshing", {}).get("hierarchical", True))

@@ -76,6 +76,12 @@ class PhaseStats:
                 ph = self._cur["phases"]
                 ph[name] = round(ph.get(name, 0.0) + dt, 4)
 
+    def add_rays(self, name: str, rays: int):
+        """Credit rays to a phase after the fact — for phases whose ray
+        count is only known once the body ran (mid-frame tracking-iteration
+        doubling changes the count inside track_frame)."""
+        self.rays[name] += rays
+
     def dump_frames(self, path: str):
         """Atomically write the per-frame series as JSON (one object with a
         'frames' list; ~100 B/frame)."""
