@@ -32,3 +32,23 @@ def test_extract_from_driver_wrapper(tmp_path):
     with open(tmp_path / "BENCH_r04.json", "w") as f:
         json.dump({"n": 4, "cmd": "python bench.py", "rc": 0, "tail": tail}, f)
     assert bench.best_recorded_vs_baseline(str(tmp_path)) == 1.118
+
+
+def test_preset_records_do_not_inflate_replica_floor(tmp_path):
+    """A tum/scannet preset record (different metric name) must be ignored
+    by the replica floor history — both as a raw line and inside a driver
+    wrapper — so a fast preset can never raise the replica floor and a
+    preset run never trips on replica history."""
+    import bench
+    with open(tmp_path / "BENCH_r01.json", "w") as f:
+        json.dump({"metric": "rays_per_s_per_chip_map_track",
+                   "value": 8.8e5, "vs_baseline": 1.10}, f)
+    with open(tmp_path / "BENCH_r02.json", "w") as f:
+        json.dump({"metric": "rays_per_s_per_chip_map_track_tum",
+                   "value": 9.6e5, "vs_baseline": 1.20}, f)
+    tail = ('{"metric": "rays_per_s_per_chip_map_track_scannet", '
+            '"value": 9.9e5, "vs_baseline": 1.30}\n')
+    with open(tmp_path / "BENCH_r03.json", "w") as f:
+        json.dump({"cmd": "python bench.py --preset scannet", "rc": 0,
+                   "tail": tail}, f)
+    assert bench.best_recorded_vs_baseline(str(tmp_path)) == 1.10
