@@ -343,6 +343,8 @@ def test_tracking_midframe_doubling_extends_current_frame():
     # triggered frame: base dispatch + same-frame continuation (schedule
     # index continues, so the pair is bit-identical to one 2x dispatch)
     assert calls == [(3, 0), (3, 3)]
+    # telemetry records the EXECUTED count (3+3), not the pre-frame plan
+    assert slam.last_track_iters == 6
     assert slam.additional_map_records[3] == 1
     # the re-check also fired -> doubled state persists for the next frame
     assert slam.tracking_back and slam.t_iters == 6 and \
@@ -354,6 +356,7 @@ def test_tracking_midframe_doubling_extends_current_frame():
     color, depth, _ = ds[4]
     slam.track_frame(4, jnp.asarray(depth), jnp.asarray(color))
     assert calls == [(6, 0)]
+    assert slam.last_track_iters == 6
 
     # an untriggered frame runs the base count and resets the state
     slam.tc = slam.tc._replace(uncertainty_ts=1e9)
@@ -364,6 +367,7 @@ def test_tracking_midframe_doubling_extends_current_frame():
     slam.track_frame(5, jnp.asarray(depth), jnp.asarray(color))
     assert calls == [(3, 0)]
     assert not slam.tracking_back and slam.t_iters == 3
+    assert slam.last_track_iters == 3
 
 
 def test_track_frame_continuation_bit_identical():
